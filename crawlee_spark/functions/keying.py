@@ -1,0 +1,222 @@
+"""URL keying kernel: normalizeUrl / uniqueKey / requestId / host columns.
+
+Reference semantics (apify/crawlee v3.18.0):
+
+- ``normalizeUrl(url, keepFragment)`` — from the public ``@apify/utilities``
+  package (apify/apify-shared-js), consumed at
+  ``packages/core/src/request.ts:9,426``; behavior pinned by the doc examples at
+  ``request.ts:459-461`` (``HTTP://www.EXAMPLE.com/something/`` →
+  ``http://www.example.com/something``) and ``request.ts:506-511`` (fragment
+  dropped unless ``keepUrlFragment``): trim; lowercase scheme + host; strip one
+  trailing ``/`` from the path; drop ``utm_*`` query params; lexicographically
+  sort the remaining ``k=v`` strings; drop the fragment unless kept.
+- ``Request.computeUniqueKey`` — ``packages/core/src/request.ts:418-440``:
+  uniqueKey = normalized URL, or ``METHOD(payloadHash):normalizedUrl`` when
+  ``useExtendedUniqueKey``.
+- ``Request.hashPayload`` — ``request.ts:443-445``: sha256 → base64 → strip
+  ``[+/=]`` → first 8 chars.
+- ``getRequestId`` — ``packages/core/src/storages/utils.ts:117-121``: sha256 of
+  uniqueKey → base64 → strip ``[+/=]`` → first 15 chars.
+
+Two implementations are provided and tested against each other:
+
+1. a **pure-Python kernel** (`normalize_url_py`, ...) — the canonical oracle,
+   also used by the vectorized pandas UDF;
+2. **native Column expressions** (`request_id_col`, `host_col`, ...) — the hot
+   path: stays inside whole-stage codegen, no Python boundary.
+
+At 100 TB the native expressions are what run per-row; the pandas UDF only
+normalizes URLs (a few hundred bytes/row) and is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# Pure-Python kernels (canonical; shared by tests, fixtures and the UDF)
+# ---------------------------------------------------------------------------
+
+
+def normalize_url_py(url: str | None, keep_fragment: bool = False) -> str | None:
+    """Canonicalize a URL exactly like the reference's ``normalizeUrl``.
+
+    Returns None for non-string/empty/scheme-less input (the reference returns
+    null there and computeUniqueKey falls back to the raw url).
+    """
+    if not isinstance(url, str) or not url:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    if not parts.scheme or not parts.netloc:
+        return None
+
+    path = re.sub(r"/$", "", parts.path)
+    params = ""
+    if parts.query:
+        kept = [p for p in parts.query.split("&") if p and not p.split("=", 1)[0].startswith("utm_")]
+        params = "&".join(sorted(kept))
+
+    out = f"{parts.scheme.lower()}://{parts.netloc.lower()}{path}"
+    if params:
+        out += f"?{params}"
+    if keep_fragment and parts.fragment:
+        out += f"#{parts.fragment}"
+    return out
+
+
+def hash_payload_py(payload: bytes | str) -> str:
+    """sha256 → base64 → strip ``+/=`` → first 8 chars (request.ts:443-445)."""
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    b64 = base64.b64encode(hashlib.sha256(payload).digest()).decode("ascii")
+    return re.sub(r"[+/=]", "", b64)[:8]
+
+
+def compute_unique_key_py(
+    url: str,
+    method: str = "GET",
+    payload: bytes | str | None = None,
+    keep_url_fragment: bool = False,
+    use_extended_unique_key: bool = False,
+) -> str:
+    """``Request.computeUniqueKey`` (request.ts:418-440)."""
+    normalized_method = method.upper()
+    normalized_url = normalize_url_py(url, keep_url_fragment) or url
+    if not use_extended_unique_key:
+        return normalized_url
+    payload_hash = hash_payload_py(payload) if payload else ""
+    return f"{normalized_method}({payload_hash}):{normalized_url}"
+
+
+def request_id_py(unique_key: str) -> str:
+    """sha256(uniqueKey) → base64 → strip ``+/=`` → first 15 chars
+    (packages/core/src/storages/utils.ts:117-121)."""
+    b64 = base64.b64encode(hashlib.sha256(unique_key.encode("utf-8")).digest()).decode("ascii")
+    return re.sub(r"[+/=]", "", b64)[:15]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas UDFs (Arrow-batched; the only Python in the keying path)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def normalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: normalize_url_py(u, False))
+
+
+@pandas_udf(StringType())
+def normalize_url_keep_fragment_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: normalize_url_py(u, True))
+
+
+# ---------------------------------------------------------------------------
+# Native Column expressions (JVM-side, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def request_id_col(unique_key: Column | str) -> Column:
+    """request_id as a native expression: no Python boundary.
+
+    ``sha2`` returns lowercase hex; ``unhex`` → raw digest; ``base64`` may chunk
+    with newlines on some JVMs, so strip ``\\n`` alongside ``+/=``.
+    """
+    c = F.col(unique_key) if isinstance(unique_key, str) else unique_key
+    return F.substring(F.translate(F.base64(F.unhex(F.sha2(c, 256))), "+/=\n", ""), 1, 15)
+
+
+def payload_hash_col(payload: Column | str) -> Column:
+    """hash_payload as a native expression (first 8 chars)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.substring(F.translate(F.base64(F.unhex(F.sha2(c, 256))), "+/=\n", ""), 1, 8)
+
+
+def host_col(url: Column | str) -> Column:
+    """Lower-cased hostname (no port) of a URL; trailing dot stripped
+    (reference normalizeHostname, packages/utils/src/internals/url.ts:78-80).
+
+    Uses ``try_parse_url``: ANSI ``parse_url`` throws on malformed URLs, and a
+    100 TB crawl frontier always contains malformed URLs."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    return F.regexp_replace(h, r"\.$", "")
+
+
+def origin_col(url: Column | str) -> Column:
+    """``scheme://host[:port]`` of a URL (lower-cased)."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    # netloc incl. port, lower-cased
+    netloc = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    return F.concat(scheme, F.lit("://"), netloc)
+
+
+def scheme_col(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+
+
+# A compact public-suffix approximation for registrable-domain grouping
+# (politeness is per registrable domain in the reference: tldts getDomain at
+# packages/basic-crawler/src/internals/basic-crawler.ts:1565). The fixture
+# universe only uses these suffixes; a production deployment would broadcast
+# the full public-suffix list as a dim table and do a longest-suffix join.
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "or.jp",
+    "ne.jp",
+    "com.br",
+    "com.cn",
+    "co.in",
+    "co.nz",
+)
+
+
+def registrable_domain_py(hostname: str | None) -> str | None:
+    """Registrable domain (eTLD+1) for a hostname; IPs/None pass through."""
+    if not hostname:
+        return None
+    h = hostname.lower().rstrip(".")
+    if re.fullmatch(r"[0-9.]+", h) or ":" in h:  # IPv4 / IPv6 → no domain
+        return h
+    labels = h.split(".")
+    if len(labels) < 2:
+        return h
+    two = ".".join(labels[-2:])
+    if len(labels) >= 3 and two in _TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return two
+
+
+def registrable_domain_col(host: Column | str) -> Column:
+    """Registrable domain as a native expression over the suffix table above."""
+    c = F.col(host) if isinstance(host, str) else host
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    three = F.concat_ws(".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1))
+    is_ip = c.rlike(r"^[0-9.]+$")
+    return (
+        F.when(c.isNull() | (n < 2) | is_ip, c)
+        .when((n >= 3) & two.isin(*_TWO_LEVEL_SUFFIXES), three)
+        .otherwise(two)
+    )

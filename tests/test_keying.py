@@ -1,0 +1,79 @@
+"""uniqueKey / normalizeUrl / requestId golden vectors.
+
+Mirrors the pinned examples in /root/reference/packages/core/src/request.ts
+(459-461, 506-511, 438-445) and storages/utils.ts:117-121."""
+
+import base64
+import hashlib
+
+from crawlee_spark.functions.keying import (
+    compute_unique_key_py,
+    hash_payload_py,
+    normalize_url_py,
+    registrable_domain_py,
+    request_id_py,
+)
+
+
+def test_normalize_basic():
+    assert (
+        normalize_url_py("HTTP://www.EXAMPLE.com/something/")
+        == "http://www.example.com/something"
+    )
+
+
+def test_normalize_trims():
+    assert normalize_url_py("  http://example.com/a  ") == "http://example.com/a"
+
+
+def test_normalize_fragment():
+    assert normalize_url_py("http://example.com/a#frag") == "http://example.com/a"
+    assert normalize_url_py("http://example.com/a#frag", keep_fragment=True) == "http://example.com/a#frag"
+
+
+def test_normalize_utm_and_sort():
+    assert (
+        normalize_url_py("http://example.com/p?z=1&utm_source=x&a=2&utm_medium=y&m=0")
+        == "http://example.com/p?a=2&m=0&z=1"
+    )
+    # all params dropped → no '?'
+    assert normalize_url_py("http://example.com/p?utm_a=1&utm_b=2") == "http://example.com/p"
+
+
+def test_normalize_root_slash():
+    assert normalize_url_py("http://example.com/") == "http://example.com"
+
+
+def test_normalize_invalid():
+    assert normalize_url_py("") is None
+    assert normalize_url_py(None) is None
+    assert normalize_url_py("not a url") is None
+
+
+def test_unique_key_default_and_extended():
+    assert compute_unique_key_py("HTTP://E.com/x/") == "http://e.com/x"
+    k = compute_unique_key_py("http://e.com/x", method="post", payload="body", use_extended_unique_key=True)
+    ph = hash_payload_py("body")
+    assert k == f"POST({ph}):http://e.com/x"
+    assert len(ph) == 8
+    # extended without payload: empty hash
+    assert (
+        compute_unique_key_py("http://e.com/x", method="PUT", use_extended_unique_key=True)
+        == "PUT():http://e.com/x"
+    )
+
+
+def test_request_id_construction():
+    uk = "http://example.com/something"
+    b64 = base64.b64encode(hashlib.sha256(uk.encode()).digest()).decode()
+    expected = b64.replace("+", "").replace("/", "").replace("=", "")[:15]
+    assert request_id_py(uk) == expected
+    assert len(request_id_py(uk)) == 15
+
+
+def test_registrable_domain():
+    assert registrable_domain_py("www.example.com") == "example.com"
+    assert registrable_domain_py("a.b.example.co.uk") == "example.co.uk"
+    assert registrable_domain_py("example.com") == "example.com"
+    assert registrable_domain_py("localhost") == "localhost"
+    assert registrable_domain_py("127.0.0.1") == "127.0.0.1"
