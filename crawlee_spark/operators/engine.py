@@ -1,0 +1,390 @@
+"""CrawlEngine: the crawl loop as batch-incremental rounds over the frontier.
+
+One round = the set-wise equivalent of BasicCrawler._runTaskFunction
+(basic-crawler.ts:1601-1747) applied to the whole claimable set at once:
+
+  claim (O2-O5, C3) → fetch = frontier ⋈ pages (S11 replacement) →
+  MIME/status gate (E5, E9) → extract text + links (E1-E2 Arrow UDFs) →
+  gate links (F1-F9) → dedup + enqueue (D5/D7) → outcomes: success /
+  retry / fail (C4-C5, O8-O9) → stats append (C10) → snapshot commit (C11).
+
+Retry policy (basic-crawler.ts:1881-1941):
+- blocked statuses {401,403,429} (session_pool/consts.ts:1) ⇒ session
+  rotation: retry WITHOUT consuming retryCount until
+  maxSessionRotations (default 10) is hit (basic-crawler.ts:1870-1876);
+- 5xx / missing page ⇒ retryable error: retry while
+  retryCount < (request.maxRetries ?? maxRequestRetries=3), else final fail;
+- other 4xx / unsupported MIME ⇒ non-retryable ⇒ immediate final fail
+  (http-crawler.ts:914-930 body-abort → noRetry);
+- reclaimed rows go to the back of the FIFO with a fresh order_no (the
+  reference re-stamps orderNo=±now on reclaim, request-queue.ts:661-667),
+  keeping the original ``forefront`` flag (O12, basic-crawler.ts:1591).
+
+Determinism: no wall clock anywhere — order_no is a driver sequence,
+leases are round numbers, handled_at derives from warc-epoch + round.
+A killed run resumes from the last committed snapshot and replays the
+round identically (tested in tests/test_engine.py::test_resume).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawlee_spark.functions.html_text import extract_links_udf, html_to_text_udf
+from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
+from crawlee_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    STATE_DONE,
+    STATE_ERROR,
+    FrontierStore,
+    candidates_to_requests,
+)
+from crawlee_spark.operators.scheduler import PolitenessPolicy, claim_round
+from crawlee_spark.operators.stats import OUTCOME_SCHEMA, final_statistics
+
+BLOCKED_STATUS_CODES = (401, 403, 429)  # session_pool/consts.ts:1
+SUPPORTED_MIME = (  # http-crawler.ts:65-66
+    "text/html",
+    "text/xml",
+    "application/xhtml+xml",
+    "application/xml",
+    "application/json",
+)
+
+
+@dataclass
+class CrawlOptions:
+    max_request_retries: int = 3  # basic-crawler.ts:646
+    max_session_rotations: int = 10  # basic-crawler.ts:648
+    max_requests_per_crawl: int | None = None  # F6
+    max_crawl_depth: int | None = None  # F7
+    enqueue: EnqueueOptions = field(default_factory=EnqueueOptions)
+    max_rounds: int = 1000
+
+
+@dataclass
+class CrawlEngine:
+    spark: SparkSession
+    store: FrontierStore
+    pages: DataFrame  # url, warc_ts, html, text?, lang?, status_code?, content_type?
+    robots: DataFrame | None = None  # host, robots_txt
+    policy: PolitenessPolicy = field(default_factory=PolitenessPolicy)
+    options: CrawlOptions = field(default_factory=CrawlOptions)
+
+    def __post_init__(self):
+        self.results_dir = os.path.join(self.store.root, "results")
+        self.outcomes_dir = os.path.join(self.store.root, "outcomes")
+        self.skipped_dir = os.path.join(self.store.root, "skipped")
+        cols = self.pages.columns
+        pages = self.pages
+        if "status_code" not in cols:
+            pages = pages.withColumn("status_code", F.lit(200))
+        if "content_type" not in cols:
+            pages = pages.withColumn("content_type", F.lit("text/html"))
+        self._pages = pages.withColumnRenamed("url", "page_url")
+
+    # -- derived frames -------------------------------------------------------
+    def results(self) -> DataFrame:
+        if not os.path.exists(self.results_dir):
+            return self.spark.createDataFrame(
+                [], "request_id string, url string, loaded_url string, text string, "
+                "crawl_depth int, label string, round_id int"
+            )
+        return self.spark.read.parquet(self.results_dir)
+
+    def outcomes(self) -> DataFrame:
+        if not os.path.exists(self.outcomes_dir):
+            return self.spark.createDataFrame([], OUTCOME_SCHEMA)
+        return self.spark.read.schema(OUTCOME_SCHEMA).parquet(self.outcomes_dir)
+
+    def skipped(self) -> DataFrame:
+        if not os.path.exists(self.skipped_dir):
+            return self.spark.createDataFrame([], "url string, reason string, round_id int")
+        return self.spark.read.parquet(self.skipped_dir)
+
+    def final_statistics(self) -> dict:
+        return final_statistics(self.outcomes())
+
+    # -- budget (F6: basic-crawler.ts:1199-1210) ------------------------------
+    def _remaining_budget(self, frontier: DataFrame) -> int | None:
+        cap = self.options.max_requests_per_crawl
+        if cap is None:
+            return None
+        counts = frontier.agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
+        ).collect()[0]
+        handled = int(counts["handled"] or 0)
+        pending = int((counts["total"] or 0)) - handled
+        return max(0, cap - handled - pending)
+
+    def _handled_count(self, frontier: DataFrame) -> int:
+        return frontier.filter(F.col("handled_at").isNotNull()).limit(
+            (self.options.max_requests_per_crawl or 0) + 1
+        ).count() if self.options.max_requests_per_crawl else -1
+
+    # -- seeding ---------------------------------------------------------------
+    def add_seeds(self, seeds: DataFrame, forefront: bool = False) -> None:
+        """addRequests(seeds) with the depth/robots gates of
+        basic-crawler.ts:1249-1326 applied set-wise."""
+        shaped = candidates_to_requests(seeds, forefront=forefront)
+        if self.options.max_crawl_depth is not None:
+            shaped = shaped.filter(F.col("crawl_depth") <= self.options.max_crawl_depth)
+        if self.robots is not None:
+            from crawlee_spark.functions.robots import robots_allowed_udf
+
+            shaped = (
+                shaped.join(F.broadcast(self.robots), "host", "left")
+                .withColumn("_allowed", robots_allowed_udf("url", "robots_txt"))
+                .filter(F.col("_allowed"))
+                .drop("_allowed", "robots_txt")
+            )
+        budget = self._remaining_budget(self.store.read())
+        self.store.add_requests(shaped, forefront=forefront, max_new=budget)
+
+    # -- one round --------------------------------------------------------------
+    def run_round(self) -> dict:
+        """Execute one scheduling round; returns round metrics."""
+        round_id = self.store.round + 1
+        frontier = self.store.read()
+
+        claimed = claim_round(frontier, round_id, self.policy)
+        if self.options.max_requests_per_crawl is not None:
+            handled = frontier.filter(F.col("handled_at").isNotNull()).count()
+            room = max(0, self.options.max_requests_per_crawl - handled)
+            claimed = claimed.orderBy("order_no").limit(room)
+        claimed = claimed.localCheckpoint(eager=True)  # pin the claim set
+        n_claimed = claimed.count()
+        if n_claimed == 0:
+            return {"round": round_id, "claimed": 0, "done": True}
+
+        # ---- fetch = join against pages (left: missing page ⇒ fetch error)
+        fetched = claimed.join(
+            self._pages, claimed["url"] == self._pages["page_url"], "left"
+        ).drop("page_url")
+
+        # ---- robots re-check at fetch time (basic-crawler.ts:1627-1639)
+        if self.robots is not None:
+            from crawlee_spark.functions.robots import robots_allowed_udf
+
+            fetched = (
+                fetched.join(F.broadcast(self.robots), "host", "left")
+                .withColumn("_robots_ok", robots_allowed_udf("url", "robots_txt"))
+                .drop("robots_txt")
+            )
+        else:
+            fetched = fetched.withColumn("_robots_ok", F.lit(True))
+
+        # ---- outcome classification (C4 decision table)
+        mime_ok = F.lit(False)
+        for m in SUPPORTED_MIME:
+            mime_ok = mime_ok | F.col("content_type").startswith(m)
+        can_retry = F.col("retry_count") < F.coalesce(
+            F.col("max_retries"), F.lit(self.options.max_request_retries)
+        )
+        classified = fetched.withColumn(
+            "_outcome",
+            F.when(~F.col("_robots_ok"), F.lit("skip_robots"))
+            .when(
+                F.col("status_code").isin(*BLOCKED_STATUS_CODES),
+                F.when(
+                    F.col("session_rotation_count") < self.options.max_session_rotations,
+                    F.lit("session_retry"),
+                ).otherwise(F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail"))),
+            )
+            .when(
+                F.col("html").isNull() | (F.col("status_code") >= 500),
+                F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail")),
+            )
+            .when((F.col("status_code") >= 400) | ~mime_ok, F.lit("fail"))  # non-retryable
+            .otherwise(F.lit("success")),
+        ).withColumn(
+            "_error",
+            F.when(F.col("_outcome") == "success", F.lit(None).cast("string"))
+            .when(~F.col("_robots_ok"), F.lit("Skipped by robots.txt"))
+            .when(F.col("html").isNull(), F.lit("Fetch failed: page not found in source"))
+            .otherwise(F.concat(F.lit("Request failed with status "), F.col("status_code"))),
+        )
+        classified = classified.localCheckpoint(eager=True)
+
+        # ---- successes: extract text + links
+        succ = classified.filter(F.col("_outcome") == "success")
+        extracted = (
+            succ.withColumn("extracted_text", html_to_text_udf("html"))
+            .withColumn("_links", extract_links_udf("html", F.col("url")))
+        ).localCheckpoint(eager=True)
+
+        # results dataset append (S7)
+        (
+            extracted.select(
+                "request_id",
+                "url",
+                F.col("url").alias("loaded_url"),
+                F.col("extracted_text").alias("text"),
+                "crawl_depth",
+                "label",
+                F.lit(round_id).alias("round_id"),
+            )
+            .write.mode("append")
+            .parquet(self.results_dir)
+        )
+
+        # ---- discovered links → gate → enqueue
+        links = (
+            extracted.select(
+                F.col("url").alias("origin_url"),
+                F.col("order_no").alias("_parent_order"),
+                (F.col("crawl_depth") + 1).alias("crawl_depth"),
+                F.posexplode_outer("_links").alias("_pos", "url"),
+            )
+            .filter(F.col("url").isNotNull())
+        )
+        n_links = links.count()
+        new_enqueued = 0
+        fresh_rows = None
+        if n_links:
+            if self.robots is not None:
+                links = links.join(
+                    F.broadcast(self.robots.withColumnRenamed("host", "_rhost")),
+                    F.lower(F.try_parse_url("url", F.lit("HOST"))) == F.col("_rhost"),
+                    "left",
+                ).drop("_rhost")
+                robots_col = "robots_txt"
+            else:
+                links = links.withColumn("robots_txt", F.lit(None).cast("string"))
+                robots_col = "robots_txt"
+            opts = self.options.enqueue
+            if self.options.max_crawl_depth is not None and opts.max_crawl_depth is None:
+                opts = EnqueueOptions(**{**opts.__dict__, "max_crawl_depth": self.options.max_crawl_depth})
+            accepted, skipped = gate_candidates(links, opts, robots_txt_col=robots_col)
+            skipped.withColumn("round_id", F.lit(round_id)).write.mode("append").parquet(self.skipped_dir)
+            # deterministic arrival order: (parent order in this round, position on page)
+            accepted = accepted.withColumn(
+                "_arrival", F.col("_parent_order") * 65536 + F.col("_pos")
+            ).drop("_parent_order", "_pos", "robots_txt").sort("_arrival")
+            budget = self._remaining_budget(frontier)
+            if opts.limit is not None:
+                budget = opts.limit if budget is None else min(budget, opts.limit)
+            shaped = candidates_to_requests(
+                accepted.select("url", "crawl_depth", "_arrival"), forefront=False
+            )
+            fresh_rows = self.store.prepare_fresh(shaped, max_new=budget)
+            new_enqueued = fresh_rows.count()
+
+        # ---- outcomes log append
+        attempt_rows = classified.select(
+            "request_id",
+            "url",
+            F.lit(round_id).alias("round_id"),
+            F.col("retry_count").alias("attempt"),
+            F.when(F.col("_outcome") == "skip_robots", F.lit("fail")).otherwise(F.col("_outcome")).alias("outcome"),
+            F.col("status_code").cast("int").alias("status_code"),
+            (F.lit(10) + F.pmod(F.xxhash64("request_id", F.lit(round_id)), F.lit(90))).alias("duration_ms"),
+            F.col("_error").alias("error_message"),
+        )
+        attempt_rows.write.mode("append").parquet(self.outcomes_dir)
+
+        # ---- MERGE outcomes back into the frontier + append fresh links
+        merged = self._merge_outcomes(frontier, classified, round_id)
+        if fresh_rows is not None:
+            merged = merged.unionByName(fresh_rows)
+        self.store.commit(merged, round_increment=True)
+
+        n_success = extracted.count()
+        return {
+            "round": round_id,
+            "claimed": n_claimed,
+            "succeeded": n_success,
+            "links_found": n_links,
+            "enqueued": new_enqueued,
+            "done": False,
+        }
+
+    def _merge_outcomes(self, frontier: DataFrame, classified: DataFrame, round_id: int) -> DataFrame:
+        """Set-wise markRequestHandled / reclaimRequest (O8/O9, C4-C6)."""
+        updates = classified.select(
+            F.col("request_id").alias("u_request_id"),
+            F.col("_outcome").alias("u_outcome"),
+            F.col("_error").alias("u_error"),
+        )
+        handled_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.lit(round_id))
+        new_seq_base = self.store.order_seq
+        w = Window.orderBy("order_no")
+
+        joined = frontier.join(updates, frontier["request_id"] == updates["u_request_id"], "left")
+        is_success = F.col("u_outcome") == "success"
+        is_retry = F.col("u_outcome") == "retry"
+        is_session_retry = F.col("u_outcome") == "session_retry"
+        is_fail = F.col("u_outcome").isin("fail", "skip_robots")
+
+        # fresh order_no for reclaimed rows: back of FIFO / front if forefront
+        reclaim = joined.filter(is_retry | is_session_retry)
+        reclaim_seq = reclaim.withColumn("_rseq", F.lit(new_seq_base) + F.row_number().over(w)).select(
+            F.col("request_id").alias("r_request_id"), "_rseq"
+        )
+        n_reclaims = reclaim_seq.count()
+        joined = joined.join(reclaim_seq, joined["request_id"] == reclaim_seq["r_request_id"], "left")
+
+        merged = (
+            joined.withColumn(
+                "handled_at",
+                F.when(is_success | is_fail, handled_ts).otherwise(F.col("handled_at")),
+            )
+            .withColumn("failed", F.when(is_fail, F.lit(True)).otherwise(F.col("failed")))
+            .withColumn(
+                "state",
+                F.when(is_success, F.lit(STATE_DONE))
+                .when(is_fail, F.lit(STATE_ERROR))
+                .otherwise(F.col("state")),
+            )
+            .withColumn(
+                "retry_count",
+                F.when(is_retry, F.col("retry_count") + 1).otherwise(F.col("retry_count")),
+            )
+            .withColumn(
+                "session_rotation_count",
+                F.when(is_session_retry, F.col("session_rotation_count") + 1).otherwise(
+                    F.col("session_rotation_count")
+                ),
+            )
+            .withColumn(
+                "error_messages",
+                F.when(
+                    (is_retry | is_fail | is_session_retry) & F.col("u_error").isNotNull(),
+                    F.concat(F.coalesce(F.col("error_messages"), F.array()), F.array(F.col("u_error"))),
+                ).otherwise(F.col("error_messages")),
+            )
+            .withColumn(
+                "order_no",
+                F.when(
+                    (is_retry | is_session_retry) & F.col("_rseq").isNotNull(),
+                    F.when(F.col("forefront"), -F.col("_rseq")).otherwise(F.col("_rseq")).cast("long"),
+                ).otherwise(F.col("order_no")),
+            )
+            .withColumn("lease_until", F.lit(None).cast("long"))
+            .withColumn(
+                "round_id",
+                F.when(F.col("u_outcome").isNotNull(), F.lit(round_id)).otherwise(F.col("round_id")),
+            )
+            .drop("u_request_id", "u_outcome", "u_error", "r_request_id", "_rseq")
+        )
+        self.store._manifest["order_seq"] = new_seq_base + n_reclaims
+        return merged.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+    # -- full crawl -------------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None) -> dict:
+        """BasicCrawler.run: seed → rounds until finished → FinalStatistics."""
+        if seeds is not None:
+            self.add_seeds(seeds)
+        rounds = 0
+        while rounds < self.options.max_rounds:
+            metrics = self.run_round()
+            rounds += 1
+            if metrics.get("done"):
+                break
+        return self.final_statistics()

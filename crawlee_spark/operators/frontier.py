@@ -1,0 +1,335 @@
+"""The frontier: Crawlee's RequestQueue as a partitioned Spark table.
+
+Reference semantics re-expressed set-wise:
+
+- ``InternalRequest`` rows + orderNo state machine
+  (packages/memory-storage/src/resource-clients/request-queue.ts:43-51,
+  661-667): ``orderNo`` sign/magnitude punning (±epochMillis = FIFO/forefront,
+  |orderNo|>now = locked, null = handled) becomes explicit columns:
+  a deterministic signed ``order_no`` sequence (no wall clock), plus
+  ``lease_until`` and ``handled_at`` timestamps.
+- add-dedup (``addRequest``/``batchAddRequests``,
+  request-queue.ts:384-396, 449-461): "existing id ⇒ wasAlreadyPresent, row
+  NOT updated" becomes an exact **left-anti join** on ``request_id`` — new
+  links minus seen set — optionally prefiltered by a Bloom filter (see
+  ``dedup_filters.py``), generalizing the reference's
+  RequestDeduplicationCache (request_dedup_cache.ts:14-51): a Bloom
+  false-positive only causes an exact re-check, never a dropped URL.
+- queue metadata counters (request-queue.ts:596-610) are an aggregation view,
+  not stored state.
+
+Storage: parquet snapshot directories + a JSON manifest (atomic rename), one
+snapshot per committed round — the sandbox stand-in for an Iceberg table where
+each round is a MERGE INTO commit and resume reads the last snapshot. The
+snapshot layout keeps the same two properties the engine needs from Iceberg:
+transactional read-your-writes between rounds, and time-travel for resume.
+
+Scale notes (10^10-row frontier):
+- the frontier is hash-distributed by ``request_id`` (dedup join key), so the
+  anti-join is a co-partitioned shuffle; AQE handles skew.
+- per-round writes rewrite only rows that changed in this sandbox backend's
+  snapshot; with Iceberg this becomes merge-on-read deltas + compaction.
+- ``html`` never enters the frontier — scheduling reads only narrow columns
+  (Catalyst prunes the parquet scan to the scheduling columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from crawlee_spark.functions.keying import (
+    host_col,
+    normalize_url_udf,
+    registrable_domain_col,
+    request_id_col,
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("unique_key", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("registrable_domain", T.StringType(), True),
+        T.StructField("order_no", T.LongType(), False),
+        T.StructField("forefront", T.BooleanType(), False),
+        T.StructField("crawl_depth", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("max_retries", T.IntegerType(), True),
+        T.StructField("no_retry", T.BooleanType(), False),
+        T.StructField("session_rotation_count", T.IntegerType(), False),
+        T.StructField("state", T.IntegerType(), False),  # RequestState enum 0-7
+        T.StructField("lease_until", T.LongType(), True),  # round-number lease
+        T.StructField("handled_at", T.TimestampType(), True),
+        T.StructField("failed", T.BooleanType(), False),
+        T.StructField("error_messages", T.ArrayType(T.StringType()), True),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("user_data", T.StringType(), True),
+        T.StructField("enqueue_strategy", T.StringType(), True),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("round_id", T.IntegerType(), False),  # lineage: last touch
+    ]
+)
+
+# RequestState enum (packages/core/src/request.ts:42-51)
+STATE_UNPROCESSED = 0
+STATE_BEFORE_NAV = 1
+STATE_AFTER_NAV = 2
+STATE_REQUEST_HANDLER = 3
+STATE_DONE = 4
+STATE_ERROR_HANDLER = 5
+STATE_ERROR = 6
+STATE_SKIPPED = 7
+
+
+def candidates_to_requests(
+    df: DataFrame,
+    *,
+    forefront: bool = False,
+    crawl_depth_col: str | None = None,
+) -> DataFrame:
+    """Project a candidate frame with a ``url`` column into frontier shape
+    (without order_no — assigned at commit time by the store).
+
+    Invalid URLs (unnormalizable, reference F9 shared.ts:242-276) are dropped
+    by the caller via ``unique_key IS NULL`` if desired; here we keep the
+    reference fallback uniqueKey = raw url when normalization fails
+    (request.ts:426 ``normalizeUrl(url) || url``).
+    """
+    cols = df.columns
+    out = df.withColumn("unique_key", F.coalesce(normalize_url_udf("url"), F.col("url")))
+    out = (
+        out.withColumn("request_id", request_id_col("unique_key"))
+        .withColumn("host", host_col("url"))
+        .withColumn("registrable_domain", registrable_domain_col(host_col("url")))
+        .withColumn("forefront", F.lit(forefront) if "forefront" not in cols else F.col("forefront"))
+        .withColumn(
+            "crawl_depth",
+            F.col(crawl_depth_col).cast("int")
+            if crawl_depth_col
+            else (F.col("crawl_depth").cast("int") if "crawl_depth" in cols else F.lit(0)),
+        )
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("max_retries", F.col("max_retries").cast("int") if "max_retries" in cols else F.lit(None).cast("int"))
+        .withColumn("no_retry", F.col("no_retry").cast("boolean") if "no_retry" in cols else F.lit(False))
+        .withColumn("session_rotation_count", F.lit(0))
+        .withColumn("state", F.lit(STATE_UNPROCESSED))
+        .withColumn("lease_until", F.lit(None).cast("long"))
+        .withColumn("handled_at", F.lit(None).cast("timestamp"))
+        .withColumn("failed", F.lit(False))
+        .withColumn("error_messages", F.lit(None).cast("array<string>"))
+        .withColumn("label", F.col("label") if "label" in cols else F.lit(None).cast("string"))
+        .withColumn("user_data", F.col("user_data") if "user_data" in cols else F.lit(None).cast("string"))
+        .withColumn(
+            "enqueue_strategy",
+            F.col("enqueue_strategy") if "enqueue_strategy" in cols else F.lit(None).cast("string"),
+        )
+        .withColumn("method", F.upper(F.col("method")) if "method" in cols else F.lit("GET"))
+        .withColumn("payload", F.col("payload") if "payload" in cols else F.lit(None).cast("string"))
+    )
+    return out
+
+
+@dataclass
+class FrontierStore:
+    """Snapshot-per-round frontier table with a JSON manifest.
+
+    The manifest carries the driver-side scalars that make runs deterministic
+    and resumable: the monotonic ``order_seq`` (replaces Date.now() orderNo),
+    the round counter, and budget accounting.
+    """
+
+    spark: SparkSession
+    root: str
+    num_partitions: int = 32
+    _manifest: dict = field(default_factory=dict, repr=False)
+
+    MANIFEST = "manifest.json"
+
+    def __post_init__(self):
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, self.MANIFEST)
+        if os.path.exists(path):
+            with open(path) as f:
+                self._manifest = json.load(f)
+        else:
+            self._manifest = {
+                "snapshot": -1,
+                "round": 0,
+                "order_seq": 0,
+                "handled_total": 0,
+                "failed_total": 0,
+                "total_requests": 0,
+                "history": [],
+            }
+
+    # -- manifest helpers ---------------------------------------------------
+    @property
+    def round(self) -> int:
+        return self._manifest["round"]
+
+    @property
+    def order_seq(self) -> int:
+        return self._manifest["order_seq"]
+
+    def _snapshot_dir(self, snap: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{snap:06d}")
+
+    def _write_manifest(self):
+        path = os.path.join(self.root, self.MANIFEST)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+        os.replace(tmp, path)  # atomic commit point
+
+    # -- table I/O -----------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Current frontier (empty frame before the first commit)."""
+        snap = self._manifest["snapshot"]
+        if snap < 0:
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._snapshot_dir(snap))
+
+    def commit(self, df: DataFrame, *, round_increment: bool = False, extra: dict | None = None) -> int:
+        """Write a new snapshot and atomically advance the manifest.
+
+        The frontier is repartitioned by ``request_id`` so the next round's
+        anti-join and claim reads are well distributed (Iceberg analog:
+        ``bucket(N, request_id)`` partition spec)."""
+        snap = self._manifest["snapshot"] + 1
+        out_dir = self._snapshot_dir(snap)
+        (
+            df.repartition(self.num_partitions, "request_id")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        self._manifest["snapshot"] = snap
+        if round_increment:
+            self._manifest["round"] += 1
+        if extra:
+            self._manifest.update(extra)
+        self._manifest["history"].append(
+            {"snapshot": snap, "round": self._manifest["round"], "wall": time.time()}
+        )
+        self._write_manifest()
+        # retire old snapshots beyond a small retention window
+        keep_from = snap - 3
+        old = self._snapshot_dir(keep_from - 1)
+        if keep_from > 0 and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        return snap
+
+    # -- enqueue (addRequestsBatched semantics) -------------------------------
+    def prepare_fresh(
+        self,
+        candidates: DataFrame,
+        *,
+        forefront: bool = False,
+        max_new: int | None = None,
+        against: DataFrame | None = None,
+    ) -> DataFrame:
+        """Dedup + order candidate requests; returns ONLY the fresh rows
+        (pinned via localCheckpoint), advancing the order sequence. The caller
+        unions them into its next commit (engine) or ``add_requests`` does.
+
+        Semantics of request_provider.ts:291-404 / request-queue.ts:428-497 as
+        one set operation:
+
+        1. in-batch dedup: first occurrence per request_id wins (batch rows
+           arrive ordered; reference processes them sequentially). Arrival
+           order = an explicit ``_arrival`` column if present, else input
+           row order;
+        2. seen-set dedup: left-anti join against the frontier on request_id
+           (``wasAlreadyPresent`` rows vanish — they are *not* updated);
+        3. budget (``maxNewRequests``, F6): only NEW rows consume budget
+           (basic_crawler.test.ts:2035-2130), applied as a limit on the
+           deduped set in arrival order;
+        4. order assignment (O1): ``order_no = ±(order_seq + rank)`` —
+           deterministic sequence, forefront negative ⇒ ascending sort gives
+           forefront-LIFO-then-FIFO (request-queue.ts:661-667, 224).
+        """
+        frontier = against if against is not None else self.read()
+        shaped = candidates if "request_id" in candidates.columns else candidates_to_requests(
+            candidates, forefront=forefront
+        )
+
+        if "_arrival" not in shaped.columns:
+            shaped = shaped.withColumn("_arrival", F.monotonically_increasing_id())
+        w_arrival = Window.orderBy("_arrival")
+        # (1) in-batch first-wins dedup
+        w_id = Window.partitionBy("request_id").orderBy("_arrival")
+        shaped = shaped.withColumn("_rk", F.row_number().over(w_id)).filter(F.col("_rk") == 1).drop("_rk")
+        # (2) exact seen-set anti-join
+        fresh = shaped.join(frontier.select("request_id"), "request_id", "left_anti")
+        # (3) budget on NEW rows only, in arrival order
+        if max_new is not None:
+            fresh = (
+                fresh.withColumn("_brk", F.row_number().over(w_arrival))
+                .filter(F.col("_brk") <= max_new)
+                .drop("_brk")
+            )
+        # (4) deterministic order_no
+        base_seq = self.order_seq
+        fresh = (
+            fresh.withColumn("_seq", F.lit(base_seq) + F.row_number().over(w_arrival))
+            .withColumn(
+                "order_no",
+                F.when(F.col("forefront"), -F.col("_seq")).otherwise(F.col("_seq")).cast("long"),
+            )
+            .drop("_seq", "_arrival")
+            .withColumn("round_id", F.lit(self.round))
+        )
+        fresh = fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]).localCheckpoint(eager=True)
+
+        added = fresh.count()
+        self._manifest["order_seq"] = base_seq + added
+        self._manifest["total_requests"] = self._manifest["total_requests"] + added
+        return fresh
+
+    def add_requests(
+        self,
+        candidates: DataFrame,
+        *,
+        forefront: bool = False,
+        max_new: int | None = None,
+    ) -> DataFrame:
+        """Public enqueue: dedup + order + append + commit; returns the new
+        frontier (the direct-queue contract of request_provider.ts:206-275)."""
+        fresh = self.prepare_fresh(candidates, forefront=forefront, max_new=max_new)
+        new_frontier = self.read().unionByName(fresh)
+        self.commit(new_frontier)
+        return new_frontier
+
+    # -- queue metadata (aggregate view, request-queue.ts:596-610) ------------
+    def info(self) -> dict:
+        row = (
+            self.read()
+            .agg(
+                F.count("*").alias("total"),
+                F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
+                F.sum(F.when(F.col("handled_at").isNull(), 1).otherwise(0)).alias("pending"),
+            )
+            .collect()[0]
+        )
+        return {
+            "totalRequestCount": row["total"] or 0,
+            "handledRequestCount": int(row["handled"] or 0),
+            "pendingRequestCount": int(row["pending"] or 0),
+        }
+
+    def is_finished(self) -> bool:
+        """O10: no pending, eligible rows remain (leases count as in-progress
+        only within the round that holds them — between rounds a lease from a
+        crashed round has expired by round-number comparison)."""
+        pending = self.read().filter(F.col("handled_at").isNull()).limit(1).count()
+        return pending == 0

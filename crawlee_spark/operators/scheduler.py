@@ -1,0 +1,138 @@
+"""Scheduling rounds: claim = ranked top-k per host with politeness budgets.
+
+Replaces the reference's one-request-at-a-time loop (fetchNextRequest O3/O5,
+listAndLockHead request-queue.ts:228-298, delayRequest politeness
+basic-crawler.ts:1559-1595) with one set operation per round:
+
+- eligibility: pending ∧ lease expired ∧ retry-eligible;
+- ordering (O2): ascending ``order_no`` ⇒ forefront (negative, LIFO) before
+  FIFO (positive, oldest first) — the contract pinned by
+  request_queue.test.ts:700-735 / 1025-1083;
+- politeness (C3): per-host token budget per round. A round models
+  ``round_secs`` of wall time; a host with ``sameDomainDelaySecs = d`` may be
+  claimed ``floor(round_secs / d)`` times per round (≥1 when d ≤ round_secs,
+  exactly 1 when d == round_secs). maxConcurrency caps the global claim.
+- skew: the per-host ranking is computed in two phases so one hot host
+  (40% of a 10^10-row frontier) never serializes into a single task — a
+  salted partial top-k per (host, salt) bucket feeds the exact final
+  per-host rank over ≤ salt_buckets × budget rows per host.
+- lease (O5): claimed rows are stamped ``lease_until = round_id`` (round
+  numbers, not wall clock — deterministic); a crashed round's leases are
+  expired by comparison, no unlock protocol needed (collapses O6/O7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class PolitenessPolicy:
+    """Engine analog of AutoscaledPool + sameDomainDelay knobs.
+
+    max_concurrency: global URLs per round cap (AutoscaledPool.maxConcurrency,
+        autoscaled_pool.ts:250 — default 200).
+    same_domain_delay_secs: per-registrable-domain delay
+        (basic-crawler.ts:1559-1595; default 0 ⇒ per-host budget falls back to
+        per_host_cap).
+    round_secs: wall-time one round models (sets the token refill).
+    per_host_cap: hard per-host budget when no delay configured.
+    salt_buckets: sub-buckets for hot-host rank splitting.
+    """
+
+    max_concurrency: int = 200
+    same_domain_delay_secs: float = 0.0
+    round_secs: float = 10.0
+    per_host_cap: int = 25
+    salt_buckets: int = 16
+
+    @property
+    def host_budget(self) -> int:
+        if self.same_domain_delay_secs and self.same_domain_delay_secs > 0:
+            return max(1, int(self.round_secs / self.same_domain_delay_secs))
+        return self.per_host_cap
+
+
+def eligible_requests(frontier: DataFrame, round_id: int) -> DataFrame:
+    """Pending rows whose lease is free/expired (O10 eligibility)."""
+    return frontier.filter(
+        F.col("handled_at").isNull()
+        & (F.col("lease_until").isNull() | (F.col("lease_until") < F.lit(round_id)))
+    )
+
+
+def per_key_topk(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    salt_buckets: int = 16,
+    salt_on: str = "request_id",
+) -> DataFrame:
+    """Exact per-key top-k by ``order_col`` without a per-key global sort.
+
+    Phase 1 ranks inside (key, salt) sub-buckets — a hot key is spread over
+    ``salt_buckets`` tasks — and keeps ≤k rows per sub-bucket. Phase 2 ranks
+    the ≤ salt_buckets×k survivors per key exactly. Result carries ``_rank``
+    (1-based per key). This is the skew-handling demanded for hot domains:
+    Crawlee never needs it because it is single-process
+    (domainAccessedTime map, basic-crawler.ts:554,706).
+    """
+    salt = (F.abs(F.xxhash64(F.col(salt_on))) % salt_buckets).alias("_salt")
+    w1 = Window.partitionBy(key, "_salt").orderBy(order_col)
+    partial = (
+        df.withColumn("_salt", salt)
+        .withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk", "_salt")
+    )
+    w2 = Window.partitionBy(key).orderBy(order_col)
+    return partial.withColumn("_rank", F.row_number().over(w2)).filter(F.col("_rank") <= k)
+
+
+def claim_round(
+    frontier: DataFrame,
+    round_id: int,
+    policy: PolitenessPolicy,
+) -> DataFrame:
+    """Select this round's claimable set (the set-wise fetchNextRequest loop).
+
+    Per-host budget first (politeness), then the global ``max_concurrency``
+    cut by ``order_no`` — matching the reference, where the pool draws from
+    the head (order_no-ascending) and the per-domain delay vetoes
+    (basic-crawler.ts:1601-1627). The global cut is an orderBy().limit() —
+    a TakeOrdered, no full sort at scale.
+    """
+    eligible = eligible_requests(frontier, round_id)
+    budget = policy.host_budget
+    ranked = per_key_topk(
+        eligible,
+        key="registrable_domain",
+        order_col="order_no",
+        k=budget,
+        salt_buckets=policy.salt_buckets,
+    )
+    return ranked.orderBy("order_no").limit(policy.max_concurrency).drop("_rank")
+
+
+def stamp_lease(frontier: DataFrame, claimed_ids: DataFrame, round_id: int) -> DataFrame:
+    """MERGE-like lease stamp: claimed rows get lease_until=round_id,
+    state=BEFORE_NAV. ``claimed_ids`` must have a ``request_id`` column."""
+    marks = claimed_ids.select("request_id").withColumn("_claimed", F.lit(True))
+    return (
+        frontier.join(marks, "request_id", "left")
+        .withColumn(
+            "lease_until",
+            F.when(F.col("_claimed"), F.lit(round_id).cast("long")).otherwise(F.col("lease_until")),
+        )
+        .withColumn(
+            "state",
+            F.when(F.col("_claimed"), F.lit(1)).otherwise(F.col("state")),
+        )
+        .withColumn("round_id", F.when(F.col("_claimed"), F.lit(round_id)).otherwise(F.col("round_id")))
+        .drop("_claimed")
+    )

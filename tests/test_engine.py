@@ -1,0 +1,206 @@
+"""End-to-end crawl-loop tests on the deterministic fixture universe.
+
+Covers the reference crawl-loop contracts at model level:
+- per-URL byte-identical extracted text (input_hint invariant);
+- dedup: every URL handled at most once;
+- robots gating at enqueue;
+- retry policy: 5xx retried maxRequestRetries times then failed, other 4xx /
+  bad MIME failed without retry (basic_crawler.test.ts:500-786 semantics);
+- maxRequestsPerCrawl budget; maxCrawlDepth;
+- checkpoint/resume: kill between rounds → resume → identical final state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+from crawlee_spark.operators.enqueue import EnqueueOptions
+from crawlee_spark.operators.frontier import FrontierStore
+from crawlee_spark.operators.scheduler import PolitenessPolicy
+from crawlee_spark.sources.fixtures import make_pages, make_pages_rows, make_robots, make_seeds
+
+
+N_PAGES = 40
+
+
+@pytest.fixture(scope="module")
+def pages_rows():
+    return make_pages_rows(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_rows):
+    return make_pages(spark, N_PAGES).cache()
+
+
+def build_engine(spark, tmp_store_dir, pages, robots=None, options=None, policy=None):
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4)
+    return CrawlEngine(
+        spark=spark,
+        store=store,
+        pages=pages,
+        robots=robots,
+        policy=policy or PolitenessPolicy(max_concurrency=50, per_host_cap=10, salt_buckets=4),
+        options=options
+        or CrawlOptions(max_rounds=6, enqueue=EnqueueOptions(strategy="all")),
+    )
+
+
+def test_crawl_end_to_end(spark, tmp_store_dir, pages, pages_rows):
+    engine = build_engine(spark, tmp_store_dir, pages, robots=make_robots(spark))
+    seeds = make_seeds(spark, pages_rows)
+    stats = engine.run(seeds)
+
+    results = engine.results().collect()
+    assert len(results) > 0
+    # byte-identical text per URL vs the expected column of the pages table
+    expected = {r["url"]: r["text"] for r in pages_rows}
+    for row in results:
+        assert row["text"] == expected[row["url"]], f"text mismatch for {row['url']}"
+
+    # dedup: no URL handled twice
+    urls = [r["url"] for r in results]
+    assert len(urls) == len(set(urls))
+
+    # robots: blocked.example.io URLs never produce results
+    assert not [u for u in urls if "blocked.example.io" in u]
+    skipped = engine.skipped().collect()
+    assert any(s["reason"] == "robotsTxt" for s in skipped)
+
+    # statistics coherent
+    assert stats["requestsFinished"] == len(urls)
+    assert stats["requestsTotal"] == stats["requestsFinished"] + stats["requestsFailed"]
+    assert sum(stats["retryHistogram"]) == stats["requestsTotal"]
+
+
+def test_retry_then_fail_5xx(spark, tmp_store_dir):
+    # one host, every page 503 → 1 initial + 3 retries, then final fail
+    pages = spark.createDataFrame(
+        [("https://bad.com/a", b"<p>x</p>", 503, "text/html")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(
+        spark,
+        tmp_store_dir,
+        pages,
+        options=CrawlOptions(max_rounds=10, max_request_retries=3, enqueue=EnqueueOptions()),
+    )
+    seeds = spark.createDataFrame([("https://bad.com/a",)], "url string")
+    stats = engine.run(seeds)
+
+    assert stats["requestsFinished"] == 0
+    assert stats["requestsFailed"] == 1
+    # 4 attempts total: attempts 0,1,2 → retry; attempt 3 → fail
+    outcomes = engine.outcomes().orderBy("round_id").collect()
+    assert [o["outcome"] for o in outcomes] == ["retry", "retry", "retry", "fail"]
+    assert [o["attempt"] for o in outcomes] == [0, 1, 2, 3]
+    # retry histogram: the one request consumed 3 retries
+    assert stats["retryHistogram"] == [0, 0, 0, 1]
+    # error messages accumulated on the frontier row (C5)
+    row = engine.store.read().collect()[0]
+    assert row["failed"] and row["handled_at"] is not None
+    assert len(row["error_messages"]) == 4
+
+
+def test_no_retry_4xx_and_bad_mime(spark, tmp_store_dir):
+    pages = spark.createDataFrame(
+        [
+            ("https://x.com/404", b"<p>gone</p>", 404, "text/html"),
+            ("https://x.com/bin", b"\x00\x01", 200, "application/octet-stream"),
+            ("https://x.com/ok", b"<p>fine</p>", 200, "text/html"),
+        ],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(spark, tmp_store_dir, pages, options=CrawlOptions(max_rounds=4))
+    seeds = spark.createDataFrame(
+        [("https://x.com/404",), ("https://x.com/bin",), ("https://x.com/ok",)], "url string"
+    )
+    stats = engine.run(seeds)
+    assert stats["requestsFinished"] == 1
+    assert stats["requestsFailed"] == 2
+    # non-retryable: exactly one attempt each
+    assert stats["retryHistogram"] == [3]
+
+
+def test_session_rotation_on_blocked_status(spark, tmp_store_dir):
+    pages = spark.createDataFrame(
+        [("https://x.com/blocked", b"<p>x</p>", 403, "text/html")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(
+        spark,
+        tmp_store_dir,
+        pages,
+        options=CrawlOptions(max_rounds=5, max_session_rotations=2),
+    )
+    stats = engine.run(spark.createDataFrame([("https://x.com/blocked",)], "url string"))
+    # rotations don't consume retryCount (basic-crawler.ts:1870-1876):
+    # 2 session_retry attempts (rotations), then the retry path takes over
+    outcomes = engine.outcomes().orderBy("round_id").collect()
+    assert [o["outcome"] for o in outcomes][:2] == ["session_retry", "session_retry"]
+    row = engine.store.read().collect()[0]
+    assert row["session_rotation_count"] == 2
+
+
+def test_max_requests_per_crawl(spark, tmp_store_dir, pages):
+    engine = build_engine(
+        spark,
+        tmp_store_dir,
+        pages,
+        options=CrawlOptions(
+            max_rounds=8,
+            max_requests_per_crawl=5,
+            enqueue=EnqueueOptions(strategy="all"),
+        ),
+        policy=PolitenessPolicy(max_concurrency=3, per_host_cap=3, salt_buckets=4),
+    )
+    seeds = spark.createDataFrame([(u,) for u in [r["url"] for r in make_pages_rows(N_PAGES)[:3]]], "url string")
+    stats = engine.run(seeds)
+    assert stats["requestsTotal"] <= 5
+
+
+def test_max_crawl_depth(spark, tmp_store_dir, pages):
+    engine = build_engine(
+        spark,
+        tmp_store_dir,
+        pages,
+        options=CrawlOptions(max_rounds=6, max_crawl_depth=1, enqueue=EnqueueOptions(strategy="all")),
+    )
+    seeds = spark.createDataFrame([(make_pages_rows(N_PAGES)[0]["url"],)], "url string")
+    engine.run(seeds)
+    depths = [r["crawl_depth"] for r in engine.store.read().collect()]
+    assert max(depths) <= 1
+    skipped = engine.skipped().collect()
+    assert any(s["reason"] == "depth" for s in skipped)
+
+
+def test_resume_identical_final_state(spark, tmp_store_dir, pages, pages_rows, tmp_path):
+    seeds = make_seeds(spark, pages_rows)
+    opts = CrawlOptions(max_rounds=6, enqueue=EnqueueOptions(strategy="all"))
+    pol = PolitenessPolicy(max_concurrency=20, per_host_cap=5, salt_buckets=4)
+
+    # run A: straight through
+    eng_a = CrawlEngine(spark, FrontierStore(spark, str(tmp_path / "a"), 4), pages, None, pol, opts)
+    eng_a.run(seeds)
+
+    # run B: 2 rounds, "crash", resume with a fresh engine over the same dir
+    eng_b1 = CrawlEngine(
+        spark, FrontierStore(spark, str(tmp_path / "b"), 4), pages, None, pol,
+        CrawlOptions(max_rounds=2, enqueue=EnqueueOptions(strategy="all")),
+    )
+    eng_b1.run(seeds)
+    eng_b2 = CrawlEngine(
+        spark, FrontierStore(spark, str(tmp_path / "b"), 4), pages, None, pol,
+        CrawlOptions(max_rounds=4, enqueue=EnqueueOptions(strategy="all")),  # 2+4 = A's 6
+    )
+    eng_b2.run()  # resume: no seeds, picks up from the manifest
+
+    cols = ["request_id", "url", "order_no", "crawl_depth", "retry_count", "failed"]
+
+    def state(engine):
+        df = engine.store.read().withColumn("handled", F.col("handled_at").isNotNull())
+        return sorted(tuple(r[c] for c in cols + ["handled"]) for r in df.select(cols + ["handled"]).collect())
+
+    a, b = state(eng_a), state(eng_b2)
+    assert a == b
+    assert any(r[-1] for r in a)  # progress was made

@@ -1,0 +1,92 @@
+"""Scheduling: per-host politeness budgets, skew-safe top-k, leases."""
+
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.frontier import FrontierStore
+from crawlee_spark.operators.scheduler import (
+    PolitenessPolicy,
+    claim_round,
+    eligible_requests,
+    per_key_topk,
+)
+
+
+def frontier_with(spark, tmp_store_dir, urls):
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4)
+    store.add_requests(spark.createDataFrame([(u,) for u in urls], "url string"))
+    return store
+
+
+def test_per_host_budget(spark, tmp_store_dir):
+    urls = [f"https://a.com/{i}" for i in range(10)] + [f"https://b.com/{i}" for i in range(10)]
+    store = frontier_with(spark, tmp_store_dir, urls)
+    pol = PolitenessPolicy(max_concurrency=100, per_host_cap=3, salt_buckets=4)
+    claimed = claim_round(store.read(), 1, pol).collect()
+    by_host = {}
+    for r in claimed:
+        by_host.setdefault(r["host"], []).append(r["order_no"])
+    assert set(by_host) == {"a.com", "b.com"}
+    for host, orders in by_host.items():
+        assert len(orders) == 3
+        # budget takes the head (lowest order_no) of each host
+        assert sorted(orders) == orders
+
+
+def test_same_domain_delay_budget():
+    pol = PolitenessPolicy(same_domain_delay_secs=5.0, round_secs=10.0)
+    assert pol.host_budget == 2
+    pol2 = PolitenessPolicy(same_domain_delay_secs=10.0, round_secs=10.0)
+    assert pol2.host_budget == 1
+    pol3 = PolitenessPolicy(same_domain_delay_secs=0.0, per_host_cap=25)
+    assert pol3.host_budget == 25
+
+
+def test_global_concurrency_cap(spark, tmp_store_dir):
+    urls = [f"https://h{i}.com/p" for i in range(30)]
+    store = frontier_with(spark, tmp_store_dir, urls)
+    pol = PolitenessPolicy(max_concurrency=7, per_host_cap=5)
+    claimed = claim_round(store.read(), 1, pol)
+    rows = claimed.collect()
+    assert len(rows) == 7
+    # global cut keeps the lowest order_no overall (head of the queue)
+    orders = sorted(r["order_no"] for r in rows)
+    assert orders == list(range(1, 8))
+
+
+def test_per_key_topk_exact_under_salting(spark):
+    # 1 hot key with 500 rows, 3 cold keys with 5 each; k=4
+    rows = [("hot", i) for i in range(500)] + [
+        (f"cold{j}", 1000 + i) for j in range(3) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long").withColumn(
+        "request_id", F.concat(F.col("k"), F.lit("-"), F.col("o"))
+    )
+    got = per_key_topk(df, key="k", order_col="o", k=4, salt_buckets=8).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r["o"])
+    assert sorted(by_key["hot"]) == [0, 1, 2, 3]  # exact top-4 despite salting
+    for j in range(3):
+        assert sorted(by_key[f"cold{j}"]) == [1000, 1001, 1002, 1003]
+
+
+def test_eligibility_lease_and_handled(spark, tmp_store_dir):
+    store = frontier_with(spark, tmp_store_dir, [f"https://a.com/{i}" for i in range(4)])
+    f = store.read()
+    # row 1 handled, row 2 leased in current round, row 3 leased in an old round
+    f = (
+        f.withColumn(
+            "handled_at",
+            F.when(F.col("order_no") == 1, F.to_timestamp(F.lit("2026-01-01"))).otherwise(None),
+        )
+        .withColumn(
+            "lease_until",
+            F.when(F.col("order_no") == 2, F.lit(5).cast("long"))
+            .when(F.col("order_no") == 3, F.lit(2).cast("long"))
+            .otherwise(F.lit(None).cast("long")),
+        )
+    )
+    elig = eligible_requests(f, round_id=5)
+    got = sorted(r["order_no"] for r in elig.collect())
+    # 1 handled (out), 2 lease==5 not expired (out), 3 lease 2<5 expired (in), 4 free (in)
+    assert got == [3, 4]
