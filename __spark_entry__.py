@@ -1,38 +1,856 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end crawl (frontier → schedule →
+fetch-join → extract → enqueue) over pages synthesized deterministically from
+the sf0.001 ``documents`` table. ``queries()`` exposes every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline extensions
+(dedup / similarity / text-analysis / multimodal); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each. All synthetic columns (URLs, outcomes, html)
+derive deterministically from the driver tables so Spark and DuckDB compute
+over identical inputs; every hash is md5/sha-256-based and every score uses
+integer or bit-reproducible double arithmetic, so value hashes match exactly.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawlee_spark.functions.keying import host_col, normalize_url_udf, registrable_domain_col, request_id_col
+from crawlee_spark.functions.html_text import extract_links_udf, html_to_text_udf
+from crawlee_spark.functions.robots import robots_allowed_udf
+from crawlee_spark.functions import text_analysis as TA
+from crawlee_spark.operators import dedup as DD
+from crawlee_spark.operators import similarity as SIM
+from crawlee_spark.operators.multimodal import sniff_format_col
+from crawlee_spark.operators.scheduler import per_key_topk
+
+# ---------------------------------------------------------------------------
+# shared synthetic inputs (must match the oracle CTEs textually below)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _url_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL per document, exercising each normalizeUrl rule:
+    doc_id%4 = 0 upper-case scheme+host | 1 utm+unsorted query | 2 fragment |
+    3 trailing slash. ``base_url`` is the canonical form."""
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"), ds)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM/docs/"), ds))
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("?b=2&utm_source=feed&a=1")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#section-2")))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    return d.select("doc_id", "source", "text", base.alias("base_url"), url.alias("url"))
+
+
+# The same universe as a DuckDB CTE (views: documents, embeddings, ...).
+_U_SQL = """
+u AS (
+  SELECT doc_id, source, text,
+    'https://www.' || source || '.example.com/docs/' || doc_id AS base_url,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/docs/' || doc_id
+      WHEN 1 THEN 'https://www.' || source || '.example.com/docs/' || doc_id || '?b=2&utm_source=feed&a=1'
+      WHEN 2 THEN 'https://www.' || source || '.example.com/docs/' || doc_id || '#section-2'
+      ELSE 'https://www.' || source || '.example.com/docs/' || doc_id || '/'
+    END AS url,
+    CASE WHEN doc_id % 4 = 1
+      THEN 'https://www.' || source || '.example.com/docs/' || doc_id || '?a=1&b=2'
+      ELSE 'https://www.' || source || '.example.com/docs/' || doc_id
+    END AS unique_key,
+    'www.' || source || '.example.com' AS host
+  FROM documents
+)
+"""
+
+# request_id = first 15 chars of base64(sha256(key)) stripped of '+/=' (D4).
+_RID_SQL = "substr(replace(replace(replace(to_base64(unhex(sha256({k}))),'+',''),'/',''),'=',''),1,15)"
+
+# Near-dup corpus: every 10th document gets a mutated twin (id + 1000000).
+def _neardup_corpus(spark: SparkSession, sf_dir: str, mutate: bool) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    twin_text = F.concat(F.col("text"), F.lit(" extra")) if mutate else F.col("text")
+    twins = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "source", twin_text.alias("text"))
+    )
+    return d.unionByName(twins)
+
+
+def _neardup_sql(mutate: bool) -> str:
+    t = "text || ' extra'" if mutate else "text"
+    return f"""
+corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, {t} AS text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+_SHINGLE_SQL = """
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(w) >= 3
+      THEN list_sort(list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])))
+      ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship: end-to-end crawl over pages synthesized from sf0.001 documents
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Seed → schedule → fetch-join → extract → enqueue for 3 rounds over a
+    page graph synthesized from /root/testdata/sf0.001/documents.parquet;
+    returns the crawl results dataset (one row per successfully handled URL
+    with its byte-exact extracted text)."""
+    from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+    from crawlee_spark.operators.enqueue import EnqueueOptions
+    from crawlee_spark.operators.frontier import FrontierStore
+    from crawlee_spark.operators.scheduler import PolitenessPolicy
+
+    sf_dir = "/root/testdata/sf0.001"
+    uni = _url_universe(spark, sf_dir)
+    n = uni.count()
+    # page graph: each page links to the next two docs (mod n) on its host path
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="/docs/'), ((F.col("doc_id") + 20) % n).cast("string"), F.lit('">n1</a>'),
+        F.lit('<a href="/docs/'), ((F.col("doc_id") + 1) % n).cast("string"), F.lit('">n2</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = uni.select(
+        F.col("base_url").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    # crawl within each source host: links resolve to /docs/<id> on the same
+    # host, which only exists in pages when that doc shares the source —
+    # missing pages exercise the retry/fail path.
+    seeds = uni.filter(F.col("doc_id") < 8).select(F.col("base_url").alias("url"))
+    workdir = tempfile.mkdtemp(prefix="crawlee_spark_entry_")
+    store = FrontierStore(spark, os.path.join(workdir, "frontier"), num_partitions=8)
+    engine = CrawlEngine(
+        spark,
+        store,
+        pages,
+        robots=None,
+        policy=PolitenessPolicy(max_concurrency=64, per_host_cap=64),
+        options=CrawlOptions(max_rounds=3, enqueue=EnqueueOptions(strategy="same-hostname")),
+    )
+    engine.add_seeds(seeds)
+    for _ in range(3):
+        m = engine.run_round()
+        if m.get("done"):
+            break
+    return engine.results()
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_url_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4: normalizeUrl kernel (pandas UDF), request id, host columns."""
+    uni = _url_universe(spark, sf_dir)
+    uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
+    return uni.select(
+        "doc_id",
+        "url",
+        uk.alias("unique_key"),
+        request_id_col(uk).alias("request_id"),
+        host_col("url").alias("host"),
+        registrable_domain_col(host_col("url")).alias("registrable_domain"),
+    )
+
+
+def q_enqueue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: seen-set dedup — first arrival wins per unique_key; fragment
+    variants collapse onto their base key."""
+    uni = _url_universe(spark, sf_dir)
+    first = uni.select("url", (F.col("doc_id") * 2).alias("arrival"))
+    dups = (
+        uni.filter(F.col("doc_id") % 3 == 0)
+        .select(F.concat(F.col("base_url"), F.lit("#dup")).alias("url"),
+                (F.col("doc_id") * 2 + 1).alias("arrival"))
+    )
+    cand = first.unionByName(dups)
+    uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
+    return (
+        cand.withColumn("unique_key", uk)
+        .groupBy("unique_key")
+        .agg(F.min("arrival").alias("first_arrival"), F.count("*").alias("n_candidates"))
+    )
+
+
+def q_frontier_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: signed order_no — forefront (negative, LIFO) drains before FIFO."""
+    uni = _url_universe(spark, sf_dir).select("doc_id")
+    w_arr = Window.orderBy("doc_id")
+    with_no = uni.withColumn("_seq", F.row_number().over(w_arr).cast("long")).withColumn(
+        "order_no",
+        F.when(F.col("doc_id") % 7 == 0, -F.col("_seq")).otherwise(F.col("_seq")),
+    )
+    w_head = Window.orderBy("order_no")
+    return with_no.select(
+        "doc_id", "order_no", F.row_number().over(w_head).cast("long").alias("position")
+    )
+
+
+def q_scheduler_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-O5 + C3: per-host budget (salted two-phase top-k) then the global
+    concurrency cut — the set-wise fetchNextRequest."""
+    uni = _url_universe(spark, sf_dir)
+    w_arr = Window.orderBy("doc_id")
+    frontier = uni.select("doc_id", host_col("url").alias("host")).withColumn(
+        "order_no",
+        F.when(F.col("doc_id") % 7 == 0, -F.row_number().over(w_arr).cast("long"))
+        .otherwise(F.row_number().over(w_arr).cast("long")),
+    )
+    claimed = per_key_topk(
+        frontier, key="host", order_col="order_no", k=3, salt_buckets=8, salt_on="doc_id"
+    )
+    return (
+        claimed.orderBy("order_no").limit(40).drop("_rank")
+        .select("doc_id", "host", "order_no")
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: robots.txt longest-match gate joined (broadcast) on host."""
+    uni = _url_universe(spark, sf_dir)
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    robots = (
+        uni.select("source").distinct()
+        .withColumn("host", F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .withColumn(
+            "robots_txt",
+            F.when(srcnum % 3 == 0, F.lit("User-agent: *\nDisallow: /private\n"))
+            .when(srcnum % 3 == 1, F.lit("User-agent: *\nDisallow: /\n")),
+        )
+        .select("host", "robots_txt")
+    )
+    return (
+        uni.withColumn("host", host_col("url"))
+        .join(F.broadcast(robots), "host", "left")
+        .withColumn("allowed", robots_allowed_udf("url", "robots_txt"))
+        .select("doc_id", "allowed")
+    )
+
+
+def q_stats_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: retry-histogram + duration aggregation over an outcome log
+    synthesized from events."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    attempt = (F.col("event_id") % 4).cast("int")
+    outcome = (
+        F.when((F.col("event_type") == "error") & (attempt < 3), F.lit("retry"))
+        .when(F.col("event_type") == "error", F.lit("fail"))
+        .otherwise(F.lit("success"))
+    )
+    dur = F.floor(F.col("value") * 100).cast("long")
+    log = ev.select(attempt.alias("attempt"), outcome.alias("outcome"), dur.alias("duration_ms"))
+    return log.groupBy("attempt", "outcome").agg(
+        F.count("*").alias("n"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: byte-identical htmlToText over synthesized HTML (the oracle derives
+    the expected text independently from the block/whitespace rules)."""
+    uni = _url_universe(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return uni.select("doc_id", html_to_text_udf(html).alias("extracted_text"))
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: extractUrlsFromCheerio with relative-href resolution against the
+    page URL."""
+    uni = _url_universe(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><a href="/docs/'), ((F.col("doc_id") + 1)).cast("string"),
+        F.lit('">n</a><a href="https://other.example.net/x/'), (F.col("doc_id") % 97).cast("string"),
+        F.lit('">x</a></body></html>'),
+    )
+    return (
+        uni.select("doc_id", F.posexplode(extract_links_udf(html, F.col("base_url"))).alias("pos", "link"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "link")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir, mutate=False)
+    return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir, mutate=True)
+    return DD.ngram_jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text", block_col="source", n=3, threshold_pct=80
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir, mutate=True)
+    return DD.minhash_lsh_pairs(
+        corpus, id_col="doc_id", text_col="text", n=3, num_perm=12, bands=4, threshold_pct=80
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir, mutate=True)
+    return DD.simhash_pairs(
+        corpus, id_col="doc_id", text_col="text", block_col="source", max_hamming=8
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TA.token_count_col(t).alias("n_tokens"),
+        TA.bpe_ish_token_count_col(t).alias("bpe_tokens"),
+        TA.punct_count_col(t).alias("punct_cnt"),
+        TA.stopword_count_col(t).alias("stopword_cnt"),
+        TA.mean_token_len_e3_col(t).alias("mean_token_len_e3"),
+        TA.quality_score_col(t).alias("quality"),
+        TA.doc_fingerprint_col(t).alias("fingerprint"),
+        TA.lang_id_col(t).alias("lang_pred"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.cosine_topk(queries, e, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.lsh_ann_topk(queries, e, k=5, dim=64, nbits=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return SIM.embedding_neardup_pairs(e, dim=64, nbits=4, threshold_e6=400_000)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    png_magic = F.unhex(F.lit("89504E470D0A1A0A"))
+    content = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(png_magic, F.encode("text", "UTF-8"))
+    ).otherwise(F.encode("text", "UTF-8"))
+    return d.select(
+        "doc_id",
+        F.length(content).cast("long").alias("byte_size"),
+        sniff_format_col(content).alias("format"),
+        F.md5(F.hex(content)).alias("content_md5"),
+    )
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 aggregation crosswalk (q1-style; money in integer cents)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc_pct)).alias("sum_disc_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 join crosswalk: aggregate orders, broadcast-join the customer dim,
+    deterministic top-10."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents")
+    )
+    return (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 anti-join crosswalk (the seen-set dedup shape)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+def q_window_segment_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 window/top-k crosswalk (the head-selection shape)."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment", "c_custkey", "rank",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful/streaming crosswalk: sessionize by 30-min inactivity gap
+    (batch form of the per-key timer the politeness scheduler uses)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(prev.isNull() | (micros - prev > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", is_new)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("_new").cast("long").alias("n_sessions"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_keying": q_url_keying,
+        "enqueue_dedup": q_enqueue_dedup,
+        "frontier_order": q_frontier_order,
+        "scheduler_claim": q_scheduler_claim,
+        "robots_gate": q_robots_gate,
+        "stats_outcomes": q_stats_outcomes,
+        "extract_text": q_extract_text,
+        "extract_links": q_extract_links,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_topn_customers": q_join_topn_customers,
+        "anti_join_inactive": q_anti_join_inactive,
+        "window_segment_head": q_window_segment_head,
+        "events_sessionize": q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _lang_hits_sql() -> str:
+    parts = []
+    for lang in sorted(TA.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in TA.LANG_MARKERS[lang])
+        parts.append(
+            f"CAST(len(list_filter(toks, t -> lower(t) IN ({markers}))) AS BIGINT) AS h_{lang}"
+        )
+    return ",\n    ".join(parts)
+
+
+def _lsh_weight_literals(nbits: int, dim: int) -> list[str]:
+    ws = SIM.hyperplane_weights(nbits, dim)
+    return ["[" + ", ".join(f"{w:.1f}" for w in row) + "]" for row in ws]
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    punct = r"[^A-Za-z0-9\s]"
+
+    # ---- minhash oracle (programmatic: 12 perms, 4 bands of 3) ----
+    num_perm, bands, rows = 12, 4, 3
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS sig_{i}" for i in range(num_perm)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    minhash_sql = f"""
+WITH {_neardup_sql(True).strip()},
+{_SHINGLE_SQL.strip().replace('sh AS', 'shing AS', 1)},
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM (SELECT doc_id, s FROM shing)
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_cnt,
+  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS union_cnt
+FROM cand c
+JOIN shing sa ON sa.doc_id = c.id_a
+JOIN shing sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.s, sb.s)) * 100 >= 80 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+  AND len(list_intersect(sa.s, sb.s)) > 0
+"""
+
+    # ---- simhash oracle: 64-bit majority vote from md5 hex digits ----
+    simhash_sql = f"""
+WITH {_neardup_sql(True).strip()},
+docs AS (
+  SELECT doc_id, source,
+    list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM corpus
+),
+tok AS (SELECT doc_id, source, len(toks) AS ntok, unnest(toks) AS t FROM docs),
+bits AS (
+  SELECT doc_id, source, ntok, bb.b,
+    ((strpos('0123456789abcdef', substr(md5(t), (bb.b // 4) + 1, 1)) - 1)
+      // (CASE bb.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 AS bit
+  FROM tok, (SELECT unnest(range(0, 64)) AS b) bb
+),
+maj AS (
+  SELECT doc_id, source, b,
+    CASE WHEN 2 * sum(bit) > max(ntok) THEN 1 ELSE 0 END AS mbit
+  FROM bits GROUP BY doc_id, source, b
+),
+words AS (
+  SELECT doc_id, source, b // 16 AS w,
+    CAST(sum(mbit * CAST(2 ** (15 - (b % 16)) AS BIGINT)) AS BIGINT) AS wv
+  FROM maj GROUP BY doc_id, source, b // 16
+),
+sim AS (
+  SELECT doc_id, source,
+    max(CASE WHEN w = 0 THEN wv END) AS h0, max(CASE WHEN w = 1 THEN wv END) AS h1,
+    max(CASE WHEN w = 2 THEN wv END) AS h2, max(CASE WHEN w = 3 THEN wv END) AS h3
+  FROM words GROUP BY doc_id, source
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 8
+"""
+
+    # ---- ANN oracles ----
+    dot_qc = _dot_sql("qe", "ce")
+    n_q = _dot_sql("qe", "qe")
+    n_c = _dot_sql("ce", "ce")
+    ann_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN {n_q} > 0 AND {n_c} > 0
+      THEN {dot_qc} / sqrt(({n_q}) * ({n_c})) END AS score
+  FROM q, c
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank,
+  CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rk <= 5
+"""
+
+    wlits = _lsh_weight_literals(4, 64)
+
+    def bucket_sql(vec: str) -> str:
+        terms = []
+        for p, w in enumerate(wlits):
+            proj = (
+                f"list_reduce(list_transform(range(1, len({vec})+1), "
+                f"i -> {vec}[i]::DOUBLE * ({w}::DOUBLE[])[i]), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END) * {2 ** (4 - 1 - p)}")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    lsh_ann_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {bucket_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding AS ce, {bucket_sql('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN {n_q} > 0 AND {n_c} > 0
+      THEN {dot_qc} / sqrt(({n_q}) * ({n_c})) END AS score
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank,
+  CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rk <= 5
+"""
+
+    dot_ab = _dot_sql("va", "vb")
+    n_a = _dot_sql("va", "va")
+    n_b = _dot_sql("vb", "vb")
+    neardup_sql = f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS va, b2.embedding AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(floor((CASE WHEN {n_a} > 0 AND {n_b} > 0
+      THEN {dot_ab} / sqrt(({n_a}) * ({n_b})) END) * 1000000) AS BIGINT) AS score_e6
+  FROM pairs
+)
+SELECT id_a, id_b, score_e6 FROM scored WHERE score_e6 >= 400000
+"""
+
+    return {
+        "url_keying": f"""
+WITH {_U_SQL.strip()}
+SELECT doc_id, url, unique_key,
+  {_RID_SQL.format(k='unique_key')} AS request_id,
+  host,
+  'example.com' AS registrable_domain
+FROM u
+""",
+        "enqueue_dedup": f"""
+WITH {_U_SQL.strip()},
+cand AS (
+  SELECT unique_key, doc_id * 2 AS arrival FROM u
+  UNION ALL
+  SELECT base_url AS unique_key, doc_id * 2 + 1 AS arrival FROM u WHERE doc_id % 3 = 0
+)
+SELECT unique_key, CAST(min(arrival) AS BIGINT) AS first_arrival,
+       CAST(count(*) AS BIGINT) AS n_candidates
+FROM cand GROUP BY unique_key
+""",
+        "frontier_order": """
+WITH seqd AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN -CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+         ELSE CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) END AS order_no
+  FROM documents
+)
+SELECT doc_id, order_no,
+  CAST(row_number() OVER (ORDER BY order_no) AS BIGINT) AS position
+FROM seqd
+""",
+        "scheduler_claim": f"""
+WITH {_U_SQL.strip()},
+seqd AS (
+  SELECT doc_id, host,
+    CASE WHEN doc_id % 7 = 0 THEN -CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+         ELSE CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) END AS order_no
+  FROM u
+),
+ranked AS (
+  SELECT doc_id, host, order_no,
+    row_number() OVER (PARTITION BY host ORDER BY order_no) AS rk
+  FROM seqd
+)
+SELECT doc_id, host, order_no FROM ranked WHERE rk <= 3
+ORDER BY order_no LIMIT 40
+""",
+        "robots_gate": f"""
+WITH {_U_SQL.strip()}
+SELECT doc_id,
+  CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1 THEN false ELSE true END AS allowed
+FROM u
+""",
+        "stats_outcomes": """
+WITH log AS (
+  SELECT CAST(event_id % 4 AS INT) AS attempt,
+    CASE WHEN event_type = 'error' AND event_id % 4 < 3 THEN 'retry'
+         WHEN event_type = 'error' THEN 'fail' ELSE 'success' END AS outcome,
+    CAST(floor(value * 100) AS BIGINT) AS duration_ms
+  FROM events
+)
+SELECT attempt, outcome, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+  CAST(min(duration_ms) AS BIGINT) AS min_duration_ms,
+  CAST(max(duration_ms) AS BIGINT) AS max_duration_ms
+FROM log GROUP BY attempt, outcome
+""",
+        "extract_text": """
+SELECT doc_id,
+  'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text
+FROM documents
+""",
+        "extract_links": f"""
+WITH {_U_SQL.strip()}
+SELECT doc_id, 0 AS pos,
+  'https://www.' || source || '.example.com/docs/' || (doc_id + 1) AS link FROM u
+UNION ALL
+SELECT doc_id, 1 AS pos,
+  'https://other.example.net/x/' || (doc_id % 97) AS link FROM u
+""",
+        "dedup_exact": f"""
+WITH {_neardup_sql(False).strip()}
+SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_neardup_sql(True).strip()},
+{_SHINGLE_SQL.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_cnt
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 100 >= 80 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+  AND len(list_intersect(a.s, b.s)) > 0
+""",
+        "dedup_minhash_lsh": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+    text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS bpe_tokens,
+    CAST(len(regexp_extract_all(text, '{punct}')) AS BIGINT) AS punct_cnt,
+    CAST(len(list_filter(toks, x -> lower(x) IN ({stop}))) AS BIGINT) AS stopword_cnt,
+    CASE WHEN len(toks) > 0
+      THEN CAST(floor(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) * 1000 / len(toks)) AS BIGINT)
+      ELSE 0 END AS mean_token_len_e3,
+    CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+        list_transform(toks, x -> CAST(ascii(substr(x, 1, 1)) * 65536 + len(x) AS BIGINT))),
+        (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS fingerprint,
+    {_lang_hits_sql()}
+  FROM t
+)
+SELECT doc_id, n_tokens, bpe_tokens, punct_cnt, stopword_cnt, mean_token_len_e3,
+  CAST(floor(least(n_tokens, 200) * 40 / 200)
+     + floor(least(CASE WHEN n_tokens > 0 THEN floor(stopword_cnt * 100 / n_tokens) ELSE 0 END, 10) * 30 / 10)
+     + CASE WHEN mean_token_len_e3 BETWEEN 3000 AND 10000 THEN 30 ELSE 0 END AS BIGINT) AS quality,
+  fingerprint,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM feat
+""",
+        "ann_cosine_topk": ann_sql,
+        "ann_lsh_topk": lsh_ann_sql,
+        "embedding_neardup": neardup_sql,
+        "multimodal_meta": """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN from_hex('89504E470D0A1A0A') || encode(text)
+         ELSE encode(text) END AS content
+  FROM documents
+)
+SELECT doc_id, CAST(octet_length(content) AS BIGINT) AS byte_size,
+  CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS format,
+  md5(hex(content)) AS content_md5
+FROM m
+""",
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_topn_customers": """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue_cents
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 10
+""",
+        "anti_join_inactive": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "window_segment_head": """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey,
+    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, rank, acctbal_cents FROM ranked WHERE rank <= 3
+""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+""",
+    }

@@ -1,0 +1,175 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+These are the per-document scoring/statistics operators a 100 TB web-text
+pipeline runs after crawling (the reference stops at extraction —
+packages/utils/src/internals/cheerio.ts — so everything here is an
+engine-native extension, built as pure Column expressions so the whole path
+stays inside JVM whole-stage codegen; no Python in the hot loop).
+
+All kernels are deterministic and engine-portable: every hash is derived
+from ``md5`` hex strings and every score from integer arithmetic, so an
+independent SQL engine (the DuckDB test oracle) reproduces them bit-for-bit.
+
+Operators:
+- ``tokens_col`` / ``token_count_col`` — whitespace tokenization.
+- ``bpe_ish_token_count_col`` — a BPE-like pre-tokenizer count (letter runs,
+  digit runs, single punctuation marks), the standard proxy for LLM token
+  budgeting when no vocab is shipped.
+- ``quality_*`` — length / punctuation-ratio / stopword-ratio features and a
+  composite quality score (the usual C4/Gopher-style filters).
+- ``lang_scores_col`` / ``lang_id_col`` — marker-token language heuristic.
+- ``doc_fingerprint_col`` — polynomial rolling hash over the token stream
+  (order-sensitive: reordered documents get different fingerprints,
+  whitespace-only edits do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+# BPE-ish pre-tokenization: a letter run, a digit run, or one non-alnum,
+# non-space character each count as one token (GPT-2-style pretokenizer
+# without merges — a deterministic budget proxy).
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    return F.coalesce(
+        F.size(F.regexp_extract_all(_c(text), F.lit(_BPE_ISH), F.lit(0))), F.lit(0)
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# quality features (C4/Gopher-style, integer/ratio arithmetic only)
+# ---------------------------------------------------------------------------
+
+# A compact stopword list (English function words; the quality signal is
+# "does this look like prose", not language ID).
+STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+
+def n_chars_col(text: Column | str) -> Column:
+    return F.length(_c(text)).cast("long")
+
+
+def punct_count_col(text: Column | str) -> Column:
+    """Count of punctuation characters (non-alnum, non-space)."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(_c(text), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))), F.lit(0)
+    ).cast("long")
+
+
+def stopword_count_col(text: Column | str) -> Column:
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+
+
+def mean_token_len_e3_col(text: Column | str) -> Column:
+    """Mean token length ×1000, floored to integer (portable fixed-point)."""
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, F.floor(total * 1000 / F.size(toks))).otherwise(F.lit(0)).cast("long")
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite quality score in [0, 100], integer arithmetic only.
+
+    Signals (each contributes a capped sub-score):
+    - length:    min(n_tokens, 200) / 200        → 40 points
+    - stopwords: min(stop_ratio_pct, 10) / 10    → 30 points (≥10% stopwords = full)
+    - mean token length in [3, 10]               → 30 points (else 0)
+    """
+    toks = token_count_col(text)
+    stop = stopword_count_col(text)
+    mtl = mean_token_len_e3_col(text)
+    len_pts = F.floor(F.least(toks, F.lit(200)) * 40 / 200)
+    stop_pct = F.when(toks > 0, F.floor(stop * 100 / toks)).otherwise(F.lit(0))
+    stop_pts = F.floor(F.least(stop_pct, F.lit(10)) * 30 / 10)
+    mtl_pts = F.when((mtl >= 3000) & (mtl <= 10000), F.lit(30)).otherwise(F.lit(0))
+    return (len_pts + stop_pts + mtl_pts).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+# Marker function words per language; prediction = argmax hit count with
+# deterministic tie-break on language-code order ('de' < 'en' < 'es' < 'fr' <
+# 'zh' — ties go to the lexicographically smallest code, then 'und' when no
+# marker hits at all).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),  # pinyin-romanized
+}
+
+
+def lang_scores_col(text: Column | str) -> Column:
+    """Map language → marker hit count (over lowercased whitespace tokens)."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        cnt = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), cnt.cast("long").alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Predicted language code ('und' when no marker matches)."""
+    scores = lang_scores_col(text)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).cast("long").alias("hits")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return best["lang"]
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (order-sensitive rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_MULT = 1000003
+_FP_MOD = 2147483647  # 2^31 - 1
+
+
+def _token_value(t: Column) -> Column:
+    """Deterministic small-int value of a token: first-char code ×65536 + len.
+
+    Engine-portable (ascii/length exist everywhere); collisions are fine —
+    the fold mixes positions."""
+    return (F.ascii(F.substring(t, 1, 1)) * 65536 + F.length(t)).cast("long")
+
+
+def doc_fingerprint_col(text: Column | str) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    ``h = (h * 1000003 + value(token)) mod (2^31-1)``, h₀ = 0."""
+    vals = F.transform(tokens_col(text), _token_value)
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: F.pmod(acc * _FP_MULT + v, F.lit(_FP_MOD)),
+    )

@@ -1,0 +1,323 @@
+"""Deduplication operators for web-scale text corpora.
+
+The reference dedups *URLs* (RequestQueue uniqueKey anti-join — see
+``operators/frontier.py``); a training-data pipeline additionally dedups
+*content*. This module adds the standard family, Spark-first:
+
+- ``exact_dedup_groups`` — hash-groupBy exact duplicate detection.
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard similarity join within a
+  blocking key (quadratic inside a block, linear across blocks).
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH candidate
+  generation + exact Jaccard verification (the 100 TB-scale path: candidate
+  generation is a groupBy on band keys — one shuffle — never a cross join).
+- ``with_simhash`` / ``simhash_pairs`` — 64-bit SimHash (per-bit majority
+  vote over token hashes) with bit_count-XOR Hamming verification.
+
+Determinism / portability: every hash derives from ``md5`` hex strings and
+all scores use integer arithmetic (intersection/union counts, fixed-point),
+so an independent SQL engine (the DuckDB oracle in ``__spark_entry__``)
+reproduces results exactly. No Python UDFs anywhere — the whole family is
+Column expressions + joins, fully inside whole-stage codegen.
+
+Scale notes (100 TB):
+- MinHash/SimHash signatures are computed with array folds over the token
+  array — shuffle-free, one pass over the text.
+- LSH pair generation shuffles on (band, band_key); hot buckets (boilerplate
+  pages) are bounded by ``max_bucket`` — buckets above it are dropped and
+  reported, the standard guard against O(n²) blowup inside one bucket.
+- The verify stage re-joins pair ids back to shingle sets; with AQE on, the
+  join picks broadcast automatically when the candidate set is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawlee_spark.functions.text_analysis import tokens_col
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text, n: int = 3):
+    """Distinct word n-grams of ``text`` (sorted for determinism).
+
+    Documents with fewer than ``n`` tokens contribute their whole token
+    sequence as a single shingle, so short docs still dedup."""
+    words = tokens_col(text)
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    short = F.array(F.concat_ws(" ", words))
+    return F.array_sort(F.array_distinct(F.when(k >= n, grams).otherwise(short)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): one row per distinct content with
+    the surviving (minimum) id and the duplicate count.
+
+    Returns ``(content_hash, survivor_id, dup_count)``. Scale: a single
+    map-side-combinable groupBy on a 32-hex-char key; never materializes
+    document pairs."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """All pairs (a < b) within a block whose n-gram Jaccard ≥ threshold_pct%.
+
+    Jaccard is kept in integer arithmetic: ``inter_cnt * 100 >=
+    threshold_pct * union_cnt``. Output: (id_a, id_b, inter_cnt, union_cnt).
+
+    The block column bounds the quadratic self-join (pairs only form inside a
+    block); for unblocked corpora use ``minhash_lsh_pairs``."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        shingles_col(F.col(text_col), n).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_cnt"),
+            union.cast("long").alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * 100 >= threshold_pct * F.col("union_cnt"))
+        .filter(F.col("inter_cnt") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_cols(shingles, num_perm: int = 12) -> list:
+    """MinHash signature as ``num_perm`` md5-hex minima.
+
+    Permutation i is simulated by hashing ``'{i}|' + shingle``; the signature
+    component is the lexicographic minimum hex digest — equivalent to a
+    min-hash under a 128-bit random permutation, and reproducible in any
+    engine with md5."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document banded MinHash: one row per (doc, band) with the band key.
+
+    ``bands`` must divide ``num_perm``; rows per band = num_perm // bands.
+    Band key = md5 of the concatenated signature slice."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows = num_perm // bands
+    sh = shingles_col(F.col(text_col), n)
+    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature_cols(sh, num_perm))
+    band_structs = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_bk")
+    ).select("_id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+    threshold_pct: int = 50,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact Jaccard verification.
+
+    Stages (each one shuffle):
+    1. signature: array folds per document (no shuffle);
+    2. candidates: groupBy (band, band_key) self-join — only documents
+       sharing a band bucket ever meet; buckets larger than ``max_bucket``
+       are dropped (boilerplate guard);
+    3. verify: re-join shingle sets on the candidate ids, keep pairs with
+       exact integer Jaccard ≥ threshold_pct%.
+
+    Output: (id_a, id_b, inter_cnt, union_cnt) — verified near-dups.
+    """
+    banded = with_minhash_bands(
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, bands=bands
+    )
+    sized = banded.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("_bsz") <= max_bucket)
+    a = sized.select("band", "band_key", F.col("_id").alias("id_a"))
+    b = sized.select("band", "band_key", F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_cnt"),
+            union.cast("long").alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * 100 >= threshold_pct * F.col("union_cnt"))
+        .filter(F.col("inter_cnt") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_BIT_DIV = [8, 4, 2, 1]  # divisor for bit j (0..3) within one hex digit
+
+
+def _token_bits64(tok):
+    """64 bits (0/1) of md5(token): hex digit d = bits 4d..4d+3, MSB first.
+
+    Pure integer arithmetic (``conv`` hex→dec, divide, mod) — portable."""
+    digest = F.md5(tok)
+    bits = []
+    for b in range(64):
+        digit = F.substring(digest, b // 4 + 1, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        bits.append(F.floor(val / _BIT_DIV[b % 4]).cast("long") % 2)
+    return F.array(*bits)
+
+
+def with_simhash(
+    df: DataFrame, *, text_col: str = "text", out_prefix: str = "simhash"
+) -> DataFrame:
+    """Add 64-bit SimHash as four 16-bit words ``{prefix}_0..3``.
+
+    Per-bit majority vote over the document's *distinct* tokens: bit b is 1
+    iff more than half the token hashes have bit b set. Four 16-bit words
+    instead of one signed 64-bit value keep XOR/bit_count portable and
+    sign-free. One array fold per row — shuffle-free."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    ntok = F.size(toks)
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    counts = F.aggregate(
+        toks, zero64, lambda acc, t: F.zip_with(acc, _token_bits64(t), lambda a, b: a + b)
+    )
+    out = df.withColumn("_bitcnt", counts).withColumn("_ntok", ntok)
+
+    def word_fold(w: int):
+        def merge(acc, j):
+            bit = F.when(
+                F.element_at(F.col("_bitcnt"), (w * 16 + j + 1).cast("int")) * 2 > F.col("_ntok"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            return acc * 2 + bit
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(15)), F.lit(0).cast("long"), merge)
+
+    for w in range(4):
+        out = out.withColumn(f"{out_prefix}_{w}", word_fold(w))
+    return out.drop("_bitcnt", "_ntok")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs (a < b) within a block with SimHash Hamming distance ≤ k.
+
+    Output: (id_a, id_b, hamming). Verification is bit_count(XOR) over the
+    four 16-bit words. At full scale the block key would be one simhash word
+    (the standard 4-table rotation guaranteeing recall for k ≤ 3); here the
+    corpus block column doubles as the bound on the self-join."""
+    hashed = with_simhash(df, text_col=text_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        *[F.col(f"simhash_{w}") for w in range(4)],
+    )
+    a = hashed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        *[F.col(f"simhash_{w}").alias(f"ha_{w}") for w in range(4)],
+    )
+    b = hashed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        *[F.col(f"simhash_{w}").alias(f"hb_{w}") for w in range(4)],
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    ham = None
+    for w in range(4):
+        term = F.bit_count(F.col(f"ha_{w}").bitwiseXOR(F.col(f"hb_{w}")))
+        ham = term if ham is None else ham + term
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

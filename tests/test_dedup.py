@@ -1,0 +1,106 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_pairs,
+    with_simhash,
+)
+
+DOCS = [
+    # (doc_id, source, text)
+    (1, "a", "the quick brown fox jumps over the lazy dog"),
+    (2, "a", "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "a", "the quick brown fox jumps over the lazy dog today"),  # near dup
+    (4, "a", "completely different words about spark engines and shuffles"),
+    (5, "b", "another host entirely separate content block"),
+    (6, "b", "another host entirely separate content block"),  # exact dup of 5
+    (7, "b", "short doc"),  # < 3 tokens → whole-text shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["survivor_id"]: r["dup_count"] for r in exact_dedup_groups(docs).collect()}
+    assert rows[1] == 2  # 1 and 2
+    assert rows[5] == 2  # 5 and 6
+    assert rows[3] == 1 and rows[4] == 1 and rows[7] == 1
+    # survivor is always the minimum id of its group
+    assert 2 not in rows and 6 not in rows
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("short doc",), ("a b c d",)], "text string")
+    rows = df.select(shingles_col(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["short doc"]
+    assert rows[1]["s"] == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["inter_cnt"], r["union_cnt"])
+        for r in ngram_jaccard_pairs(docs, threshold_pct=50).collect()
+    }
+    assert (1, 2) in pairs  # exact dup: intersection == union
+    i, u = pairs[(1, 2)]
+    assert i == u
+    assert (5, 6) in pairs
+    assert (3, 4) not in pairs  # unrelated docs
+    # near-dup 1↔3: 7 shared trigrams, 1 extra in doc 3
+    assert (1, 3) in pairs and (2, 3) in pairs
+
+
+def test_jaccard_blocks_bound_pairs(docs):
+    # docs 1 (source a) and 5 (source b) never form a pair even if identical
+    same_text = docs.withColumn("text", F.lit("x y z w"))
+    pairs = ngram_jaccard_pairs(same_text, threshold_pct=50).collect()
+    assert all(
+        (a < 5 and b < 5) or (a >= 5 and b >= 5) for a, b in [(r["id_a"], r["id_b"]) for r in pairs]
+    )
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_perm=12, bands=4, threshold_pct=50).collect()
+    }
+    # identical docs share every band → always candidates → verified
+    assert (1, 2) in pairs
+    assert (5, 6) in pairs
+    # verification kills false candidates: every reported pair really has
+    # jaccard ≥ 50% (cross-checked against the exact operator, unblocked)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("source", F.lit("all")), threshold_pct=50
+        ).collect()
+    }
+    assert pairs <= exact
+
+
+def test_simhash_identical_and_distance(docs):
+    hashed = with_simhash(docs).collect()
+    by_id = {r["doc_id"]: tuple(r[f"simhash_{w}"] for w in range(4)) for r in hashed}
+    assert by_id[1] == by_id[2]  # identical text → identical simhash
+    for w in range(4):
+        assert 0 <= by_id[1][w] < 2**16
+    pairs = {r["id_a"]: r for r in []}
+    res = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=64).collect()}
+    assert res[(1, 2)] == 0
+    assert res[(5, 6)] == 0
+    assert res[(1, 3)] <= res[(1, 4)]  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_threshold(docs):
+    res = simhash_pairs(docs, max_hamming=0).collect()
+    got = {(r["id_a"], r["id_b"]) for r in res}
+    assert got == {(1, 2), (5, 6)}

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force cosine top-k, LSH buckets, near-dup pairs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplane_weights,
+    lsh_ann_topk,
+    with_lsh_buckets,
+)
+
+DIM = 4
+CORPUS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [1.0, 0.0, 0.0, 0.0]),   # duplicate of 0
+    (5, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(corpus):
+    q = corpus.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = cosine_topk(q, corpus, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [0, 4, 1]  # self, dup (id tie-break), near
+    assert rows[0]["score_e6"] == 1_000_000 or rows[0]["score_e6"] == 999_999
+    assert rows[0]["rank"] == 1 and rows[2]["rank"] == 3
+    # cosine(0, 1) = 0.9/sqrt(0.82)
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(rows[2]["score_e6"] / 1e6 - expected) < 1e-5
+
+
+def test_lsh_bucket_determinism(corpus):
+    b1 = {r["vec_id"]: r["bucket"] for r in with_lsh_buckets(corpus, dim=DIM, nbits=4).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in with_lsh_buckets(corpus, dim=DIM, nbits=4).collect()}
+    assert b1 == b2
+    assert b1[0] == b1[4]  # identical vectors → identical bucket
+    assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_hyperplane_weights_are_pm1():
+    ws = hyperplane_weights(4, DIM)
+    assert len(ws) == 4 and all(len(row) == DIM for row in ws)
+    assert all(w in (-1, 1) for row in ws for w in row)
+
+
+def test_lsh_ann_topk_subset_of_exact(corpus):
+    q = corpus.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = {(r["vec_id"], r["rank"]) for r in lsh_ann_topk(q, corpus, k=3, dim=DIM, nbits=2).collect()}
+    # every approx hit is a real corpus vector in the query's bucket, and
+    # the duplicate (always same bucket) is found
+    assert any(v == 4 for v, _ in approx)
+    assert any(v == 0 for v, _ in approx)
+
+
+def test_embedding_neardup_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score_e6"]
+        for r in embedding_neardup_pairs(corpus, dim=DIM, nbits=2, threshold_e6=990_000).collect()
+    }
+    assert (0, 4) in pairs  # exact duplicate pair
+    assert pairs[(0, 4)] >= 999_999
+    assert all(a < b for a, b in pairs)
