@@ -1,0 +1,157 @@
+"""Headline benchmark for the crawlee_spark engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "frontier_urls": N, "frontier_urls_per_sec": R, "cpus": C}
+
+Components:
+- ``frontier``: the BASELINE metric — URLs scheduled+deduped per second.
+  Synthesizes a deterministic URL universe (2×SF-scaled), enqueues it against
+  a half-populated seen-set (in-batch dedup → anti-join → order assignment)
+  and runs one scheduling round (salted per-host top-k + politeness cut).
+- representative operator queries from ``__spark_entry__`` at
+  ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Environment: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_FRONTIER_URLS (default scales with sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawlee_spark.operators.frontier import candidates_to_requests  # noqa: E402
+from crawlee_spark.operators.scheduler import PolitenessPolicy, claim_round  # noqa: E402
+
+
+def synth_urls(spark, n: int, tag: str):
+    """Deterministic URL universe with realistic host skew: one hot host takes
+    ~25% of URLs, the rest spread over ~1000 hosts."""
+    host = (
+        F.when(F.col("id") % 4 == 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 1000).cast("string"), F.lit(".example.org")))
+    )
+    return spark.range(n).select(
+        F.concat(
+            F.lit("https://"), host, F.lit(f"/{tag}/"), F.col("id").cast("string"),
+            F.when(F.col("id") % 7 == 0, F.lit("?utm_source=bench&b=2&a=1")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.col("id").alias("_arrival"),
+    )
+
+
+def bench_frontier(spark, n_urls: int) -> dict:
+    """URLs scheduled+deduped/sec: enqueue pipeline + one claim round."""
+    # seen set: half the universe, pre-shaped (ids 0..n/2)
+    seen = candidates_to_requests(synth_urls(spark, n_urls // 2, "page")).select("request_id")
+    seen = seen.repartition(int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")), "request_id")
+    seen.cache().count()  # materialize outside the timed section
+
+    candidates = synth_urls(spark, n_urls, "page")
+
+    t0 = time.time()
+    shaped = candidates_to_requests(candidates)
+    # in-batch dedup + seen-set anti-join + order assignment (prepare_fresh
+    # plan, without the store's snapshot write)
+    from pyspark.sql.window import Window
+
+    w_id = Window.partitionBy("request_id").orderBy("_arrival")
+    fresh = (
+        shaped.withColumn("_rk", F.row_number().over(w_id))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .join(seen, "request_id", "left_anti")
+        .withColumn("order_no", (F.col("_arrival") + 1).cast("long"))
+        .drop("_arrival")
+    )
+    n_fresh = fresh.count()
+    t_enqueue = time.time() - t0
+
+    frontier = fresh.withColumn("lease_until", F.lit(None).cast("long")).withColumn(
+        "handled_at", F.lit(None).cast("timestamp")
+    )
+    t1 = time.time()
+    claimed = claim_round(
+        frontier, 1, PolitenessPolicy(max_concurrency=100_000, per_host_cap=200, salt_buckets=16)
+    )
+    n_claimed = claimed.count()
+    t_claim = time.time() - t1
+
+    total = t_enqueue + t_claim
+    seen.unpersist()
+    return {
+        "urls": n_urls,
+        "fresh": n_fresh,
+        "claimed": n_claimed,
+        "enqueue_sec": round(t_enqueue, 3),
+        "claim_sec": round(t_claim, 3),
+        "sec": round(total, 3),
+        "urls_per_sec": round(n_urls / total, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from crawlee_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("crawlee-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_urls = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", str(int(10_000_000 * sf))))
+    frontier = bench_frontier(spark, n_urls)
+
+    bench_queries = [
+        "url_keying",
+        "scheduler_claim",
+        "extract_text",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "agg_pricing_summary",
+        "events_sessionize",
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_FRONTIER_ONLY"):
+        bench_queries = []
+    qs = entry.queries()
+    times: dict[str, float] = {"frontier": frontier["sec"]}
+    for name in bench_queries:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier throughput (URLs scheduled+deduped/sec) + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_urls": frontier["urls"],
+                "frontier_fresh": frontier["fresh"],
+                "frontier_claimed": frontier["claimed"],
+                "frontier_urls_per_sec": frontier["urls_per_sec"],
+                "frontier_enqueue_sec": frontier["enqueue_sec"],
+                "frontier_claim_sec": frontier["claim_sec"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -235,10 +235,14 @@ class CrawlEngine:
         )
 
         # ---- discovered links → gate → enqueue
+        # parent rank: dense 1..|succ| by order_no — a window over the claimed
+        # set only (bounded by max_concurrency per round, never frontier-sized)
+        w_parent = Window.orderBy("order_no")
         links = (
-            extracted.select(
+            extracted.withColumn("_parent_rank", F.row_number().over(w_parent))
+            .select(
                 F.col("url").alias("origin_url"),
-                F.col("order_no").alias("_parent_order"),
+                F.col("_parent_rank"),
                 (F.col("crawl_depth") + 1).alias("crawl_depth"),
                 F.posexplode_outer("_links").alias("_pos", "url"),
             )
@@ -263,10 +267,11 @@ class CrawlEngine:
                 opts = EnqueueOptions(**{**opts.__dict__, "max_crawl_depth": self.options.max_crawl_depth})
             accepted, skipped = gate_candidates(links, opts, robots_txt_col=robots_col)
             skipped.withColumn("round_id", F.lit(round_id)).write.mode("append").parquet(self.skipped_dir)
-            # deterministic arrival order: (parent order in this round, position on page)
+            # deterministic arrival order: (parent rank in this round, position
+            # on page) — both small, so the key stays far from long overflow
             accepted = accepted.withColumn(
-                "_arrival", F.col("_parent_order") * 65536 + F.col("_pos")
-            ).drop("_parent_order", "_pos", "robots_txt").sort("_arrival")
+                "_arrival", F.col("_parent_rank").cast("long") * 65536 + F.col("_pos")
+            ).drop("_parent_rank", "_pos", "robots_txt")
             budget = self._remaining_budget(frontier)
             if opts.limit is not None:
                 budget = opts.limit if budget is None else min(budget, opts.limit)
@@ -314,7 +319,6 @@ class CrawlEngine:
         )
         handled_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.lit(round_id))
         new_seq_base = self.store.order_seq
-        w = Window.orderBy("order_no")
 
         joined = frontier.join(updates, frontier["request_id"] == updates["u_request_id"], "left")
         is_success = F.col("u_outcome") == "success"
@@ -322,12 +326,22 @@ class CrawlEngine:
         is_session_retry = F.col("u_outcome") == "session_retry"
         is_fail = F.col("u_outcome").isin("fail", "skip_robots")
 
-        # fresh order_no for reclaimed rows: back of FIFO / front if forefront
+        # fresh order_no for reclaimed rows: back of FIFO / front if forefront,
+        # preserving their previous relative order. Sparse assignment from the
+        # old |order_no| (unique) — one small aggregate, no global window.
         reclaim = joined.filter(is_retry | is_session_retry)
-        reclaim_seq = reclaim.withColumn("_rseq", F.lit(new_seq_base) + F.row_number().over(w)).select(
-            F.col("request_id").alias("r_request_id"), "_rseq"
+        rstats = reclaim.agg(
+            F.count("*").alias("n"),
+            F.min(F.abs(F.col("order_no"))).alias("lo"),
+            F.max(F.abs(F.col("order_no"))).alias("hi"),
+        ).collect()[0]
+        n_reclaims = int(rstats["n"] or 0)
+        r_lo = int(rstats["lo"]) if rstats["lo"] is not None else 0
+        r_span = (int(rstats["hi"]) - r_lo + 1) if n_reclaims else 0
+        reclaim_seq = reclaim.select(
+            F.col("request_id").alias("r_request_id"),
+            (F.lit(new_seq_base) + (F.abs(F.col("order_no")) - F.lit(r_lo)) + 1).alias("_rseq"),
         )
-        n_reclaims = reclaim_seq.count()
         joined = joined.join(reclaim_seq, joined["request_id"] == reclaim_seq["r_request_id"], "left")
 
         merged = (
@@ -373,7 +387,7 @@ class CrawlEngine:
             )
             .drop("u_request_id", "u_outcome", "u_error", "r_request_id", "_rseq")
         )
-        self.store._manifest["order_seq"] = new_seq_base + n_reclaims
+        self.store._manifest["order_seq"] = new_seq_base + r_span
         return merged.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
     # -- full crawl -------------------------------------------------------------

@@ -265,34 +265,43 @@ class FrontierStore:
 
         if "_arrival" not in shaped.columns:
             shaped = shaped.withColumn("_arrival", F.monotonically_increasing_id())
-        w_arrival = Window.orderBy("_arrival")
-        # (1) in-batch first-wins dedup
+        # (1) in-batch first-wins dedup (window partitioned by the dedup key —
+        # shuffles on request_id, never a single-task global sort)
         w_id = Window.partitionBy("request_id").orderBy("_arrival")
         shaped = shaped.withColumn("_rk", F.row_number().over(w_id)).filter(F.col("_rk") == 1).drop("_rk")
         # (2) exact seen-set anti-join
         fresh = shaped.join(frontier.select("request_id"), "request_id", "left_anti")
-        # (3) budget on NEW rows only, in arrival order
+        # (3) budget on NEW rows only, in arrival order — TakeOrdered (top-k
+        # per partition then merge on the driver), no global window
         if max_new is not None:
-            fresh = (
-                fresh.withColumn("_brk", F.row_number().over(w_arrival))
-                .filter(F.col("_brk") <= max_new)
-                .drop("_brk")
-            )
-        # (4) deterministic order_no
+            fresh = fresh.orderBy("_arrival").limit(max_new)
+        # (4) deterministic order_no: SPARSE sequence ``base + (_arrival -
+        # min_arrival) + 1``. Arrival keys are unique, so order_no is unique
+        # and ascending-in-arrival — the FIFO/forefront contract only needs a
+        # total order consistent with arrival, not dense ranks, and this
+        # assigns it with one small aggregate instead of a one-task global
+        # row_number (the difference between O(batch) on one core and a
+        # map-only pass at a 10^10-row frontier).
         base_seq = self.order_seq
+        fresh = fresh.localCheckpoint(eager=True)  # pin before the stats pass
+        stats = fresh.agg(
+            F.count("*").alias("n"), F.min("_arrival").alias("lo"), F.max("_arrival").alias("hi")
+        ).collect()[0]
+        added = int(stats["n"] or 0)
+        lo = int(stats["lo"]) if stats["lo"] is not None else 0
+        span = (int(stats["hi"]) - lo + 1) if added else 0
+        seq = F.lit(base_seq) + (F.col("_arrival") - F.lit(lo)) + 1
         fresh = (
-            fresh.withColumn("_seq", F.lit(base_seq) + F.row_number().over(w_arrival))
-            .withColumn(
+            fresh.withColumn(
                 "order_no",
-                F.when(F.col("forefront"), -F.col("_seq")).otherwise(F.col("_seq")).cast("long"),
+                F.when(F.col("forefront"), -seq).otherwise(seq).cast("long"),
             )
-            .drop("_seq", "_arrival")
+            .drop("_arrival")
             .withColumn("round_id", F.lit(self.round))
         )
         fresh = fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]).localCheckpoint(eager=True)
 
-        added = fresh.count()
-        self._manifest["order_seq"] = base_seq + added
+        self._manifest["order_seq"] = base_seq + span
         self._manifest["total_requests"] = self._manifest["total_requests"] + added
         return fresh
 

@@ -1,6 +1,7 @@
 """Scheduling: per-host politeness budgets, skew-safe top-k, leases."""
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crawlee_spark.operators.frontier import FrontierStore
 from crawlee_spark.operators.scheduler import (
@@ -72,21 +73,23 @@ def test_per_key_topk_exact_under_salting(spark):
 
 def test_eligibility_lease_and_handled(spark, tmp_store_dir):
     store = frontier_with(spark, tmp_store_dir, [f"https://a.com/{i}" for i in range(4)])
-    f = store.read()
-    # row 1 handled, row 2 leased in current round, row 3 leased in an old round
+    # order_no is a sparse sequence — key the scenario off the FIFO rank
+    w = Window.orderBy("order_no")
+    f = store.read().withColumn("_rk", F.row_number().over(w))
+    # rank 1 handled, rank 2 leased in current round, rank 3 leased in old round
     f = (
         f.withColumn(
             "handled_at",
-            F.when(F.col("order_no") == 1, F.to_timestamp(F.lit("2026-01-01"))).otherwise(None),
+            F.when(F.col("_rk") == 1, F.to_timestamp(F.lit("2026-01-01"))).otherwise(None),
         )
         .withColumn(
             "lease_until",
-            F.when(F.col("order_no") == 2, F.lit(5).cast("long"))
-            .when(F.col("order_no") == 3, F.lit(2).cast("long"))
+            F.when(F.col("_rk") == 2, F.lit(5).cast("long"))
+            .when(F.col("_rk") == 3, F.lit(2).cast("long"))
             .otherwise(F.lit(None).cast("long")),
         )
     )
     elig = eligible_requests(f, round_id=5)
-    got = sorted(r["order_no"] for r in elig.collect())
-    # 1 handled (out), 2 lease==5 not expired (out), 3 lease 2<5 expired (in), 4 free (in)
+    got = sorted(r["_rk"] for r in elig.collect())
+    # rk1 handled (out), rk2 lease==5 not expired (out), rk3 lease 2<5 expired (in), rk4 free (in)
     assert got == [3, 4]
