@@ -309,6 +309,58 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_urls_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/E8: URL_NO_COMMAS_REGEX scan over plain text (comma terminates)."""
+    from crawlee_spark.sources.urls import extract_urls_col
+
+    d = _docs(spark, sf_dir)
+    line = F.concat(
+        F.lit("visit https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://other.org/x"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(", end"),
+    )
+    return d.select(
+        "doc_id", F.posexplode(extract_urls_col(line)).alias("pos", "url")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "url")
+
+
+def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: content-type header parse with extension fallback."""
+    from crawlee_spark.sources.urls import parse_content_type_cols
+
+    d = _docs(spark, sf_dir)
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("text/html; charset=ISO-8859-1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/f"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".json")).otherwise(F.lit(".bin")),
+    )
+    mime, charset = parse_content_type_cols(header, url)
+    return d.select("doc_id", mime.alias("mime"), charset.alias("charset"))
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5: <urlset> XML parse — loc/lastmod/changefreq/priority rules."""
+    from crawlee_spark.sources.sitemap import parse_sitemap_xml
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://www."), F.col("source"), F.lit(".example.com/docs/"), ds,
+        F.lit("</loc><lastmod>2026-01-02T03:04:05</lastmod><changefreq>daily</changefreq>"
+              "<priority>0.5</priority></url>"
+              "<url><loc>https://www."), F.col("source"), F.lit(".example.com/alt/"), ds,
+        F.lit("</loc><changefreq>sometimes</changefreq><lastmod>junk</lastmod></url>"
+              "<url><priority>0.1</priority></url></urlset>"),
+    )
+    src = d.select(xml.alias("value"), F.concat(F.lit("https://sitemap/"), ds).alias("src"))
+    return parse_sitemap_xml(src, origin_col="src")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir, mutate=False)
     return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
@@ -461,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_outcomes": q_stats_outcomes,
         "extract_text": q_extract_text,
         "extract_links": q_extract_links,
+        "extract_urls_text": q_extract_urls_text,
+        "content_type": q_content_type,
+        "sitemap_parse": q_sitemap_parse,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -738,6 +793,33 @@ SELECT doc_id, 0 AS pos,
 UNION ALL
 SELECT doc_id, 1 AS pos,
   'https://other.example.net/x/' || (doc_id % 97) AS link FROM u
+""",
+        "extract_urls_text": """
+SELECT doc_id, 0 AS pos,
+  'https://www.' || source || '.example.com/docs/' || doc_id AS url FROM documents
+UNION ALL
+SELECT doc_id, 1 AS pos, 'http://other.org/x' || (doc_id % 7) AS url FROM documents
+""",
+        "content_type": """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+       WHEN doc_id % 2 = 0 THEN 'application/json'
+       ELSE 'application/octet-stream' END AS mime,
+  CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset
+FROM documents
+""",
+        "sitemap_parse": """
+SELECT 'https://www.' || source || '.example.com/docs/' || doc_id AS loc,
+  TIMESTAMP '2026-01-02 03:04:05' AS lastmod,
+  'daily' AS changefreq, 0.5 AS priority,
+  'https://sitemap/' || doc_id AS origin_sitemap_url
+FROM documents
+UNION ALL
+SELECT 'https://www.' || source || '.example.com/alt/' || doc_id AS loc,
+  CAST(NULL AS TIMESTAMP) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+  CAST(NULL AS DOUBLE) AS priority,
+  'https://sitemap/' || doc_id AS origin_sitemap_url
+FROM documents
 """,
         "dedup_exact": f"""
 WITH {_neardup_sql(False).strip()}

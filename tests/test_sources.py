@@ -1,0 +1,135 @@
+"""URL-list, content-type, and sitemap source operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.sources.sitemap import (
+    common_sitemap_candidates_col,
+    parse_sitemap_index,
+    parse_sitemap_txt,
+    parse_sitemap_xml,
+    parse_sitemaps,
+)
+from crawlee_spark.sources.urls import (
+    extract_urls_col,
+    fix_google_sheets_url_col,
+    parse_content_type_cols,
+)
+
+
+def test_extract_urls_regex(spark):
+    # mirrors /root/reference/test/utils/extract-urls.test.ts expectations:
+    # commas terminate a URL, unicode letters allowed, scheme required
+    text = (
+        "plain http://example.com/a, json {\"u\":\"https://www.example.co.uk/x?y=1\"} "
+        "no-scheme www.nope.com unicode https://fürstenberg.de/straße end"
+    )
+    df = spark.createDataFrame([(text,)], "value string")
+    urls = df.select(extract_urls_col("value").alias("u")).collect()[0]["u"]
+    assert "http://example.com/a" in urls
+    assert "https://www.example.co.uk/x?y=1" in urls
+    assert "https://fürstenberg.de/straße" in urls
+    assert not any("nope" in u for u in urls)  # scheme-less dropped
+
+
+def test_google_sheets_fixup(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://docs.google.com/spreadsheets/d/abc-123_X/edit#gid=0",),
+            ("https://example.com/file.csv",),
+        ],
+        "url string",
+    )
+    got = [r["f"] for r in df.select(fix_google_sheets_url_col("url").alias("f")).collect()]
+    assert got[0] == "https://docs.google.com/spreadsheets/d/abc-123_X/gviz/tq?tqx=out:csv"
+    assert got[1] == "https://example.com/file.csv"
+
+
+def test_content_type_parse(spark):
+    df = spark.createDataFrame(
+        [
+            ("text/html; charset=ISO-8859-1", "https://a.com/x"),
+            ("", "https://a.com/file.JSON"),
+            (None, "https://a.com/unknown.bin"),
+            ("application/xhtml+xml", "https://a.com/"),
+        ],
+        "ct string, url string",
+    )
+    mime, charset = parse_content_type_cols("ct", "url")
+    rows = df.select(mime.alias("m"), charset.alias("c")).collect()
+    assert (rows[0]["m"], rows[0]["c"]) == ("text/html", "iso-8859-1")
+    assert (rows[1]["m"], rows[1]["c"]) == ("application/json", "utf-8")  # ext fallback
+    assert rows[2]["m"] == "application/octet-stream"  # unknown ext default
+    assert rows[3]["m"] == "application/xhtml+xml"
+
+
+XML_URLSET = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://example.com/1 </loc><lastmod>2026-01-02T03:04:05Z</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://example.com/2</loc><changefreq>sometimes</changefreq>
+       <lastmod>not a date</lastmod></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>"""
+
+XML_INDEX = """<sitemapindex>
+  <sitemap><loc>https://example.com/child1.xml</loc></sitemap>
+  <sitemap><loc>https://example.com/child2.txt</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_xml(spark):
+    df = spark.createDataFrame([(XML_URLSET, "https://example.com/sitemap.xml")], "value string, src string")
+    rows = parse_sitemap_xml(df, origin_col="src").orderBy("loc").collect()
+    assert len(rows) == 2  # loc-less <url> dropped
+    assert rows[0]["loc"] == "https://example.com/1"
+    assert rows[0]["changefreq"] == "daily" and abs(rows[0]["priority"] - 0.8) < 1e-9
+    assert rows[0]["lastmod"] is not None
+    assert rows[0]["origin_sitemap_url"] == "https://example.com/sitemap.xml"
+    # invalid changefreq and unparseable lastmod are nulled, loc kept
+    assert rows[1]["changefreq"] is None and rows[1]["lastmod"] is None
+
+
+def test_parse_sitemap_txt(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/1\n\n  https://a.com/2  \n",)], "value string"
+    )
+    rows = parse_sitemap_txt(df).orderBy("loc").collect()
+    assert [r["loc"] for r in rows] == ["https://a.com/1", "https://a.com/2"]
+
+
+def test_parse_sitemap_index_and_recursion(spark):
+    bodies = {
+        "https://example.com/sitemap.xml": XML_INDEX,
+        "https://example.com/child1.xml": XML_URLSET,
+        "https://example.com/child2.txt": "https://example.com/from-txt\n",
+    }
+
+    def fetch_children(urls_df):
+        rows = [(r["sitemap_url"], bodies[r["sitemap_url"]]) for r in urls_df.collect()]
+        return spark.createDataFrame(rows, "sitemap_url string, body string")
+
+    idx = parse_sitemap_index(
+        spark.createDataFrame([(XML_INDEX,)], "value string")
+    ).collect()
+    assert {r["sitemap_url"] for r in idx} == {
+        "https://example.com/child1.xml",
+        "https://example.com/child2.txt",
+    }
+
+    initial = spark.createDataFrame(
+        [("https://example.com/sitemap.xml", XML_INDEX)], "sitemap_url string, body string"
+    )
+    urls = parse_sitemaps(initial, fetch_children=fetch_children).collect()
+    locs = sorted(r["loc"] for r in urls)
+    assert locs == [
+        "https://example.com/1",
+        "https://example.com/2",
+        "https://example.com/from-txt",
+    ]
+
+
+def test_common_sitemap_candidates(spark):
+    df = spark.createDataFrame([("https://Example.com/some/page?q=1",)], "url string")
+    got = df.select(common_sitemap_candidates_col("url").alias("c")).collect()[0]["c"]
+    assert got == ["https://example.com/sitemap.xml", "https://example.com/sitemap.txt"]
