@@ -361,6 +361,33 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap_xml(src, origin_col="src")
 
 
+def q_social_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: email/phone/social-handle regexes (social.ts) over synthetic HTML."""
+    from crawlee_spark.functions.social import (
+        emails_from_text_col,
+        phones_from_text_col,
+        social_handles_cols,
+    )
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<p>mail a"), ds, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or call 1(413)555-00"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(' </p><a href="https://www.linkedin.com/in/user-'), ds,
+        F.lit('/recent-activity">li</a> <a href="https://twitter.com/u_'), ds,
+        F.lit('">tw</a>'),
+    )
+    handles = social_handles_cols(html)
+    return d.select(
+        "doc_id",
+        F.element_at(emails_from_text_col(html), 1).alias("email"),
+        F.element_at(phones_from_text_col(html), 1).alias("phone"),
+        F.element_at(handles["linkedIns"], 1).alias("linkedin"),
+        F.element_at(handles["twitters"], 1).alias("twitter"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir, mutate=False)
     return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
@@ -516,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_urls_text": q_extract_urls_text,
         "content_type": q_content_type,
         "sitemap_parse": q_sitemap_parse,
+        "social_handles": q_social_handles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -819,6 +847,14 @@ SELECT 'https://www.' || source || '.example.com/alt/' || doc_id AS loc,
   CAST(NULL AS TIMESTAMP) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
   CAST(NULL AS DOUBLE) AS priority,
   'https://sitemap/' || doc_id AS origin_sitemap_url
+FROM documents
+""",
+        "social_handles": """
+SELECT doc_id,
+  'a' || doc_id || '@ex' || (doc_id % 7) || '.com' AS email,
+  '1(413)555-00' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS phone,
+  'https://www.linkedin.com/in/user-' || doc_id || '/' AS linkedin,
+  'https://twitter.com/u_' || doc_id AS twitter
 FROM documents
 """,
         "dedup_exact": f"""

@@ -28,7 +28,12 @@ def run_once(cpus: int, urls: int) -> dict:
         SPARK_GRAFT_FRONTIER_URLS=str(urls),
         SPARK_GRAFT_SHUFFLE_PARTITIONS="64",  # identical plan at both sizes
         SPARK_GRAFT_BENCH_FRONTIER_ONLY="1",
+        SPARK_GRAFT_DRIVER_MEM="24g",
+        # single-box surrogate for a cluster's per-node disks: tmpfs scratch,
+        # so shuffle/snapshot I/O doesn't serialize both runs on one disk
+        SPARK_GRAFT_LOCAL_DIR=os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-bench"),
     )
+    os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
     proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
         env=env,

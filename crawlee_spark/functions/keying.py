@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 # ---------------------------------------------------------------------------
 # Pure-Python kernels (canonical; shared by tests, fixtures and the UDF)
@@ -120,6 +120,33 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def normalize_url_keep_fragment_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: normalize_url_py(u, True))
+
+
+_KEYING_SCHEMA = StructType(
+    [StructField("unique_key", StringType()), StructField("request_id", StringType())]
+)
+
+
+@pandas_udf(_KEYING_SCHEMA)
+def keying_udf(urls: pd.Series) -> pd.DataFrame:
+    """One-pass keying kernel: url → (unique_key, request_id).
+
+    Fuses normalizeUrl + getRequestId into a single Arrow batch so the whole
+    per-URL keying path runs in Python worker processes. On a shared-heap
+    local JVM this also sidesteps the allocation-bound sha/base64 expression
+    path; on a cluster either form works — the expression variant
+    (``request_id_col``) stays available for pure-SQL plans."""
+
+    def key(u):
+        uk = normalize_url_py(u, False)
+        if uk is None:
+            uk = u
+        if uk is None:
+            return (None, None)
+        return (uk, request_id_py(uk))
+
+    pairs = [key(u) for u in urls]
+    return pd.DataFrame(pairs, columns=["unique_key", "request_id"], index=urls.index)
 
 
 # ---------------------------------------------------------------------------

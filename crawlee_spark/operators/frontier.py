@@ -48,6 +48,7 @@ from pyspark.sql.window import Window
 
 from crawlee_spark.functions.keying import (
     host_col,
+    keying_udf,
     normalize_url_udf,
     registrable_domain_col,
     request_id_col,
@@ -107,10 +108,13 @@ def candidates_to_requests(
     (request.ts:426 ``normalizeUrl(url) || url``).
     """
     cols = df.columns
-    out = df.withColumn("unique_key", F.coalesce(normalize_url_udf("url"), F.col("url")))
+    out = df
+    if "unique_key" not in cols:
+        out = out.withColumn("unique_key", F.coalesce(normalize_url_udf("url"), F.col("url")))
+    if "request_id" not in cols:
+        out = out.withColumn("request_id", request_id_col("unique_key"))
     out = (
-        out.withColumn("request_id", request_id_col("unique_key"))
-        .withColumn("host", host_col("url"))
+        out.withColumn("host", host_col("url"))
         .withColumn("registrable_domain", registrable_domain_col(host_col("url")))
         .withColumn("forefront", F.lit(forefront) if "forefront" not in cols else F.col("forefront"))
         .withColumn(
@@ -259,24 +263,37 @@ class FrontierStore:
            forefront-LIFO-then-FIFO (request-queue.ts:661-667, 224).
         """
         frontier = against if against is not None else self.read()
-        shaped = candidates if "request_id" in candidates.columns else candidates_to_requests(
-            candidates, forefront=forefront
-        )
 
-        if "_arrival" not in shaped.columns:
-            shaped = shaped.withColumn("_arrival", F.monotonically_increasing_id())
-        # (1) in-batch first-wins dedup: groupBy + min_by instead of a
-        # partitioned window — same semantics (earliest arrival per
-        # request_id wins) but with map-side partial aggregation, so the
-        # shuffle carries one row per distinct key instead of every candidate
-        payload = [c for c in shaped.columns if c != "request_id"]
-        shaped = (
-            shaped.groupBy("request_id")
+        # key the candidates (UDF normalize + sha-256 id) but DON'T derive the
+        # full frontier row yet: the dedup shuffle should carry only the
+        # candidate's own columns, not the derivable ones (host, domain,
+        # state machine defaults) — those are recomputed map-side on the
+        # survivors after the anti-join, which is strictly fewer rows.
+        keyed = candidates
+        if "request_id" not in keyed.columns:
+            if "unique_key" not in keyed.columns:
+                # fused Arrow kernel: normalize + sha-256 id in one Python pass
+                keyed = keyed.withColumn("_k", keying_udf("url")).select(
+                    "*", F.col("_k.unique_key").alias("unique_key"),
+                    F.col("_k.request_id").alias("request_id"),
+                ).drop("_k")
+            else:
+                keyed = keyed.withColumn("request_id", request_id_col("unique_key"))
+        if "_arrival" not in keyed.columns:
+            keyed = keyed.withColumn("_arrival", F.monotonically_increasing_id())
+        # (1) in-batch first-wins dedup: groupBy + min_by — identical
+        # semantics to a per-key window (earliest arrival wins) but with
+        # map-side partial aggregation, so duplicate-heavy batches (the
+        # common crawl case: every page links to the same nav URLs) shrink
+        # before the shuffle
+        payload = [c for c in keyed.columns if c != "request_id"]
+        deduped = (
+            keyed.groupBy("request_id")
             .agg(F.min_by(F.struct(*payload), F.col("_arrival")).alias("_row"))
             .select("request_id", "_row.*")
         )
         # (2) exact seen-set anti-join
-        fresh = shaped.join(frontier.select("request_id"), "request_id", "left_anti")
+        fresh = deduped.join(frontier.select("request_id"), "request_id", "left_anti")
         # (3) budget on NEW rows only, in arrival order — TakeOrdered (top-k
         # per partition then merge on the driver), no global window
         if max_new is not None:
@@ -289,27 +306,34 @@ class FrontierStore:
         # row_number (the difference between O(batch) on one core and a
         # map-only pass at a 10^10-row frontier).
         base_seq = self.order_seq
-        fresh = fresh.localCheckpoint(eager=True)  # pin before the stats pass
+        # pin the narrow survivor rows ONCE (monotonically_increasing_id is
+        # partition-dependent, so the stats pass and the returned frame must
+        # see identical values); the wide frontier row is derived lazily on
+        # top — a deterministic map-only projection that downstream actions
+        # (union → snapshot write) evaluate exactly once more
+        fresh = fresh.localCheckpoint(eager=True)
         stats = fresh.agg(
             F.count("*").alias("n"), F.min("_arrival").alias("lo"), F.max("_arrival").alias("hi")
         ).collect()[0]
         added = int(stats["n"] or 0)
         lo = int(stats["lo"]) if stats["lo"] is not None else 0
         span = (int(stats["hi"]) - lo + 1) if added else 0
+
+        shaped = candidates_to_requests(fresh, forefront=forefront)
         seq = F.lit(base_seq) + (F.col("_arrival") - F.lit(lo)) + 1
-        fresh = (
-            fresh.withColumn(
+        shaped = (
+            shaped.withColumn(
                 "order_no",
                 F.when(F.col("forefront"), -seq).otherwise(seq).cast("long"),
             )
             .drop("_arrival")
             .withColumn("round_id", F.lit(self.round))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
-        fresh = fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]).localCheckpoint(eager=True)
 
         self._manifest["order_seq"] = base_seq + span
         self._manifest["total_requests"] = self._manifest["total_requests"] + added
-        return fresh
+        return shaped
 
     def add_requests(
         self,
