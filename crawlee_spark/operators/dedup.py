@@ -161,8 +161,17 @@ def with_minhash_bands(
     Band key = md5 of the concatenated signature slice."""
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
-    sh = shingles_col(F.col(text_col), n)
-    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature_cols(sh, num_perm))
+    # materialize shingles as a column FIRST: each signature expression then
+    # references the computed array instead of re-building (tokenize →
+    # n-gram → distinct → sort) num_perm times per document. Re-spread the
+    # input first — small corpora arrive as one parquet split, and the
+    # signature math (num_perm md5 passes over every shingle) is the
+    # expensive part worth all cores.
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shingled = spread.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
+    )
+    sigs = shingled.select("_id", *minhash_signature_cols(F.col("_sh"), num_perm))
     band_structs = []
     for b in range(bands):
         key = F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
@@ -234,22 +243,6 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-_BIT_DIV = [8, 4, 2, 1]  # divisor for bit j (0..3) within one hex digit
-
-
-def _token_bits64(tok):
-    """64 bits (0/1) of md5(token): hex digit d = bits 4d..4d+3, MSB first.
-
-    Pure integer arithmetic (``conv`` hex→dec, divide, mod) — portable."""
-    digest = F.md5(tok)
-    bits = []
-    for b in range(64):
-        digit = F.substring(digest, b // 4 + 1, 1)
-        val = F.conv(digit, 16, 10).cast("int")
-        bits.append(F.floor(val / _BIT_DIV[b % 4]).cast("long") % 2)
-    return F.array(*bits)
-
-
 def with_simhash(
     df: DataFrame, *, text_col: str = "text", out_prefix: str = "simhash"
 ) -> DataFrame:
@@ -258,28 +251,39 @@ def with_simhash(
     Per-bit majority vote over the document's *distinct* tokens: bit b is 1
     iff more than half the token hashes have bit b set. Four 16-bit words
     instead of one signed 64-bit value keep XOR/bit_count portable and
-    sign-free. One array fold per row — shuffle-free."""
+    sign-free.
+
+    Physical plan: explode distinct tokens → one md5 + four hex→int convs
+    per token → 64 flat ``sum()`` aggregates back to one row per document.
+    Everything is primitive arithmetic inside whole-stage codegen with
+    map-side partial aggregation — no array accumulators in the hot loop
+    (an array-fold formulation allocates a 64-slot array per token and is
+    ~20× slower)."""
+    other = [c for c in df.columns]
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.array_distinct(tokens_col(F.col(text_col)))
-    ntok = F.size(toks)
-    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
-    counts = F.aggregate(
-        toks, zero64, lambda acc, t: F.zip_with(acc, _token_bits64(t), lambda a, b: a + b)
-    )
-    out = df.withColumn("_bitcnt", counts).withColumn("_ntok", ntok)
-
-    def word_fold(w: int):
-        def merge(acc, j):
-            bit = F.when(
-                F.element_at(F.col("_bitcnt"), (w * 16 + j + 1).cast("int")) * 2 > F.col("_ntok"),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            return acc * 2 + bit
-
-        return F.aggregate(F.sequence(F.lit(0), F.lit(15)), F.lit(0).cast("long"), merge)
-
+    tok = spread.withColumn("_ntok", F.size(toks)).withColumn("_t", F.explode_outer(toks))
+    digest = F.md5(F.col("_t"))
+    # 4 × 16-bit words of the token hash, one conv each
     for w in range(4):
-        out = out.withColumn(f"{out_prefix}_{w}", word_fold(w))
-    return out.drop("_bitcnt", "_ntok")
+        tok = tok.withColumn(f"_w{w}", F.conv(F.substring(digest, 4 * w + 1, 4), 16, 10).cast("int"))
+    # 64 per-bit counters (bit j of word w via divide/mod — exact powers of 2)
+    aggs = [F.max("_ntok").alias("_ntok")]
+    for b in range(64):
+        w, j = b // 16, b % 16
+        bit = F.floor(F.col(f"_w{w}") / (2 ** (15 - j))).cast("long") % 2
+        aggs.append(F.sum(bit).alias(f"_c{b}"))
+    counted = tok.groupBy(*other).agg(*aggs)
+    # majority vote + word assembly (pure arithmetic over the 64 counters)
+    out = counted
+    for w in range(4):
+        word = F.lit(0).cast("long")
+        for j in range(16):
+            b = w * 16 + j
+            maj = F.when(F.col(f"_c{b}") * 2 > F.col("_ntok"), F.lit(1)).otherwise(F.lit(0))
+            word = word + maj * (2 ** (15 - j))
+        out = out.withColumn(f"{out_prefix}_{w}", word)
+    return out.select(*other, *[f"{out_prefix}_{w}" for w in range(4)])
 
 
 def simhash_pairs(
