@@ -149,6 +149,40 @@ def keying_udf(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(pairs, columns=["unique_key", "request_id"], index=urls.index)
 
 
+@pandas_udf(StringType())
+def _normalize_or_raw_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: (normalize_url_py(u, False) or u) if u is not None else None)
+
+
+def unique_key_col(
+    url: Column | str,
+    method: Column | str | None = None,
+    payload: Column | str | None = None,
+    use_extended: bool = False,
+) -> Column:
+    """D2 ``Request.computeUniqueKey`` (request.ts:418-440) as a column:
+    ``normalizedUrl`` or ``METHOD(payloadHash):normalizedUrl`` when extended.
+
+    The payload hash is D3 (sha-256 → base64 → strip ``+/=`` → 8 chars,
+    request.ts:443-445); an absent payload contributes an empty hash, as in
+    the reference."""
+    u = F.col(url) if isinstance(url, str) else url
+    normalized = _normalize_or_raw_udf(u)
+    if not use_extended:
+        return normalized
+    m = F.upper(F.col(method) if isinstance(method, str) else (method or F.lit("GET")))
+    p = F.col(payload) if isinstance(payload, str) else payload
+    ph = F.when(p.isNotNull(), payload_hash_col(p)).otherwise(F.lit("")) if p is not None else F.lit("")
+    return F.format_string("%s(%s):%s", m, ph, normalized)
+
+
+def salted_unique_key_col(unique_key: Column | str) -> Column:
+    """D8 ``keepDuplicateUrls`` (request_list.ts:398-400): pre-salt the key
+    with a uuid so duplicate URLs survive dedup as distinct requests."""
+    c = F.col(unique_key) if isinstance(unique_key, str) else unique_key
+    return F.concat(c, F.lit("|"), F.expr("uuid()"))
+
+
 # ---------------------------------------------------------------------------
 # Native Column expressions (JVM-side, whole-stage codegen)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Dataset (results store), exports, and the label Router.
+
+Reference semantics:
+
+- ``Dataset.pushData`` — append-only, push-ordered result log with payload
+  chunking at 9 MB (packages/core/src/storages/dataset.ts:276-301, limit at
+  dataset.ts:60). Spark: an append-only parquet/Iceberg table; chunking
+  disappears (columnar pages), ordering survives as an explicit
+  ``push_seq`` column.
+- ``Dataset.exportTo{JSON,CSV}`` / ``crawler.exportData`` — dump the dataset
+  to one file (packages/basic-crawler/src/internals/basic-crawler.ts:
+  1355-1404). Spark: ``df.write.json/csv``; ``single_file=True`` coalesces
+  to 1 partition to match the reference's one-file contract (only sane for
+  small exports — the default keeps one file per partition).
+- ``Dataset.getData`` offset/limit pagination (dataset.ts:276 area,
+  packages/core/src/storages/dataset.ts getData): ``push_seq`` range filter.
+- ``Router`` — label-based dispatch of requests to handlers
+  (packages/core/src/router.ts): ``userData.label`` picks the handler,
+  missing label falls to the default handler, unknown label throws. Spark:
+  per-label transformations applied to label-filtered slices, unioned.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Dataset:
+    """Append-only result log backed by a parquet directory."""
+
+    spark: SparkSession
+    root: str
+
+    def push_data(self, df: DataFrame, order_from: str | None = None) -> None:
+        """S7 pushData: append rows; push order recorded in ``push_seq``
+        (from ``order_from`` when the caller has a deterministic sequence,
+        else a monotonic id)."""
+        seq = F.col(order_from) if order_from else F.monotonically_increasing_id()
+        df.withColumn("push_seq", seq.cast("long")).write.mode("append").parquet(self.root)
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.root):
+            raise FileNotFoundError(f"dataset not initialized: {self.root}")
+        return self.spark.read.parquet(self.root)
+
+    def get_data(self, *, offset: int = 0, limit: int | None = None) -> DataFrame:
+        """Offset/limit pagination in push order (dataset.ts getData)."""
+        out = self.read().orderBy("push_seq").offset(offset)
+        return out.limit(limit) if limit is not None else out
+
+    def export_to(self, path: str, fmt: str = "json", single_file: bool = False) -> None:
+        """S8 exportTo{JSON,CSV}."""
+        df = self.read().orderBy("push_seq")
+        if single_file:
+            df = df.coalesce(1)
+        writer = df.write.mode("overwrite")
+        if fmt == "json":
+            writer.json(path)
+        elif fmt == "csv":
+            writer.option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
+
+
+def route_by_label(
+    df: DataFrame,
+    handlers: dict[str, Callable[[DataFrame], DataFrame]],
+    *,
+    label_col: str = "label",
+    default_handler: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """C13 Router: apply each label's handler to its slice and union.
+
+    Rows whose label has no handler go to ``default_handler``; if none is
+    given they raise — matching Router.addHandler/addDefaultHandler
+    (packages/core/src/router.ts: missing route throws
+    'No route for label...'). The check is set-wise: one aggregation over
+    distinct labels instead of a per-row throw."""
+    label = F.col(label_col)
+    known = [k for k in handlers]
+    unrouted = df.filter(~label.isin(*known) if known else F.lit(True))
+    if default_handler is None:
+        bad = [r[0] for r in unrouted.select(label_col).distinct().limit(5).collect()]
+        if bad:
+            raise ValueError(f"no route for labels: {bad}")
+    parts = []
+    for key, fn in handlers.items():
+        parts.append(fn(df.filter(label == key)))
+    if default_handler is not None:
+        parts.append(default_handler(unrouted))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
