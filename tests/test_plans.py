@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, no global sort.
+
+These pin the Catalyst properties the engine's scale story depends on
+(SURVEY §4): if a refactor silently turns the scheduling scan into a
+full-width read or the robots join into a shuffle join, these fail."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.frontier import FrontierStore
+from crawlee_spark.operators.scheduler import PolitenessPolicy, claim_round, eligible_requests
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans-frontier"))
+    s = FrontierStore(spark, d, num_partitions=4)
+    s.add_requests(
+        spark.createDataFrame(
+            [(f"https://h{i % 5}.example.com/p{i}",) for i in range(50)], "url string"
+        )
+    )
+    return s
+
+
+def test_scheduling_scan_prunes_and_pushes(store):
+    """The claim path must read only scheduling columns and push the
+    pending-rows filter into the parquet scan."""
+    narrow = eligible_requests(store.read(), round_id=1).select(
+        "request_id", "registrable_domain", "order_no"
+    )
+    plan = explain_str(narrow)
+    assert "PushedFilters" in plan
+    assert "IsNull(handled_at)" in plan.replace(" ", "")
+    # ReadSchema is pruned: the wide payload columns never leave parquet
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for needed in ("request_id", "order_no", "handled_at", "lease_until"):
+        assert needed in read_schema
+    for heavy in ("user_data", "error_messages", "payload", "unique_key"):
+        assert heavy not in read_schema
+
+
+def test_claim_round_has_no_global_sort_before_limit(store):
+    """The global concurrency cut must be a TakeOrdered, not Sort+Limit."""
+    claimed = claim_round(store.read(), 1, PolitenessPolicy(max_concurrency=10, per_host_cap=2))
+    plan = explain_str(claimed, "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort nodes are the per-(key,salt) window sorts, never global
+    # (simple-mode format: "Sort [cols...], <global>, 0")
+    for line in plan.splitlines():
+        if "Sort [" in line and "order_no" in line:
+            assert "], false, 0" in line, f"global sort found: {line.strip()}"
+
+
+def test_robots_join_broadcasts(spark, store):
+    robots = spark.createDataFrame(
+        [("h1.example.com", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    joined = store.read().join(F.broadcast(robots), "host", "left")
+    plan = explain_str(joined, "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_hash_not_cartesian(spark, store):
+    cand = spark.createDataFrame([(f"rid{i}",) for i in range(10)], "request_id string")
+    anti = cand.join(store.read().select("request_id"), "request_id", "left_anti")
+    plan = explain_str(anti, "simple")
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan

@@ -1,0 +1,74 @@
+"""Session pool: reputation lifecycle (session.ts:205-296 semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlee_spark.operators.sessions import (
+    SessionPolicy,
+    assign_sessions,
+    make_pool,
+    replenish_pool,
+    update_pool,
+    usable_sessions,
+)
+
+POLICY = SessionPolicy(max_pool_size=8, max_error_score=3.0, error_score_decrement=0.5,
+                       max_usage_count=5, max_age_rounds=10)
+
+
+def test_assignment_deterministic_and_uniform(spark):
+    pool = make_pool(spark, 8)
+    claims = spark.createDataFrame([(f"rid{i}",) for i in range(200)], "request_id string")
+    a1 = {r["request_id"]: r["session_id"] for r in assign_sessions(claims, pool, 1, POLICY).collect()}
+    a2 = {r["request_id"]: r["session_id"] for r in assign_sessions(claims, pool, 1, POLICY).collect()}
+    assert a1 == a2  # deterministic per (request, round)
+    used = set(a1.values())
+    assert len(used) == 8  # all sessions participate
+    a3 = {r["request_id"]: r["session_id"] for r in assign_sessions(claims, pool, 2, POLICY).collect()}
+    assert a3 != a1  # rotation varies by round
+
+
+def test_update_pool_good_bad_retire(spark):
+    pool = make_pool(spark, 3)
+    sid = lambda i: f"session_r0_{i}"
+    outcomes = spark.createDataFrame(
+        [
+            (sid(0), "success"),
+            (sid(0), "success"),
+            (sid(1), "fail"),
+            (sid(1), "retry"),
+            (sid(2), "session_retry"),  # blocked status → retire
+        ],
+        "session_id string, outcome string",
+    )
+    updated = {r["session_id"]: r for r in update_pool(pool, outcomes, POLICY).collect()}
+    assert updated[sid(0)]["usage_count"] == 2
+    assert updated[sid(0)]["error_score"] == 0.0  # markGood floors at 0
+    assert updated[sid(1)]["error_score"] == 2.0  # two markBad
+    assert not updated[sid(1)]["retired"]
+    assert updated[sid(2)]["retired"]
+    assert updated[sid(2)]["error_score"] >= POLICY.max_error_score
+
+
+def test_error_score_decrement_on_recovery(spark):
+    pool = make_pool(spark, 1)
+    bad = spark.createDataFrame([("session_r0_0", "fail")] * 2, "session_id string, outcome string")
+    pool = update_pool(pool, bad, POLICY)
+    good = spark.createDataFrame([("session_r0_0", "success")], "session_id string, outcome string")
+    row = update_pool(pool, good, POLICY).collect()[0]
+    assert row["error_score"] == 1.5  # 2 - 0.5 (session.ts:242-250)
+
+
+def test_usable_and_replenish(spark):
+    pool = make_pool(spark, 8)
+    # wear out one session, block another, age the whole pool past a round
+    worn = spark.createDataFrame(
+        [("session_r0_0", "success")] * 5 + [("session_r0_1", "fail")] * 3,
+        "session_id string, outcome string",
+    )
+    pool = update_pool(pool, worn, POLICY)
+    assert usable_sessions(pool, 1, POLICY).count() == 6
+    topped = replenish_pool(spark, pool, 1, POLICY)
+    assert usable_sessions(topped, 1, POLICY).count() == 8
+    # expiry: everything from round 0 dies at round 10; replacements survive
+    assert usable_sessions(topped, 10, POLICY).count() == 2
