@@ -156,6 +156,7 @@ class FrontierStore:
     spark: SparkSession
     root: str
     num_partitions: int = 32
+    bloom_buckets: int | None = None  # enable D7 prefilter with this many buckets
     _manifest: dict = field(default_factory=dict, repr=False)
 
     MANIFEST = "manifest.json"
@@ -203,6 +204,21 @@ class FrontierStore:
         if snap < 0:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         return self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._snapshot_dir(snap))
+
+    def filters(self) -> DataFrame:
+        """Per-bucket Bloom filters over the current snapshot's request_ids
+        (built once per snapshot, persisted next to it; the Iceberg analog
+        maintains them incrementally per partition via bitwise OR of the new
+        keys' bits)."""
+        from crawlee_spark.operators.dedup_filters import build_filters
+
+        snap = self._manifest["snapshot"]
+        fdir = os.path.join(self.root, "filters", f"v{snap:06d}")
+        if not os.path.exists(fdir):
+            build_filters(
+                self.read().select("request_id"), num_buckets=self.bloom_buckets or 64
+            ).write.mode("overwrite").parquet(fdir)
+        return self.spark.read.parquet(fdir)
 
     def commit(self, df: DataFrame, *, round_increment: bool = False, extra: dict | None = None) -> int:
         """Write a new snapshot and atomically advance the manifest.
@@ -292,8 +308,19 @@ class FrontierStore:
             .agg(F.min_by(F.struct(*payload), F.col("_arrival")).alias("_row"))
             .select("request_id", "_row.*")
         )
-        # (2) exact seen-set anti-join
-        fresh = deduped.join(frontier.select("request_id"), "request_id", "left_anti")
+        # (2) seen-set dedup: exact left-anti join, fronted by the
+        # partitioned Bloom prefilter when enabled (D7) — definitely-new
+        # candidates skip the join shuffle entirely; maybe-seen ones get the
+        # exact check, so the result is identical either way
+        if self.bloom_buckets and against is None and self._manifest["snapshot"] >= 0:
+            from crawlee_spark.operators.dedup_filters import bloom_anti_join
+
+            fresh = bloom_anti_join(
+                deduped, frontier.select("request_id"), self.filters(),
+                num_buckets=self.bloom_buckets,
+            )
+        else:
+            fresh = deduped.join(frontier.select("request_id"), "request_id", "left_anti")
         # (3) budget on NEW rows only, in arrival order — TakeOrdered (top-k
         # per partition then merge on the driver), no global window
         if max_new is not None:
