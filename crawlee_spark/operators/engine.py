@@ -40,6 +40,7 @@ from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
 from crawlee_spark.operators.frontier import (
     FRONTIER_SCHEMA,
     STATE_DONE,
+    STATE_SKIPPED,
     STATE_ERROR,
     FrontierStore,
     candidates_to_requests,
@@ -86,6 +87,8 @@ class CrawlEngine:
             pages = pages.withColumn("status_code", F.lit(200))
         if "content_type" not in cols:
             pages = pages.withColumn("content_type", F.lit("text/html"))
+        if "loaded_url" not in cols:  # no-redirect source: final url = url
+            pages = pages.withColumn("loaded_url", F.col("url"))
         self._pages = pages.withColumnRenamed("url", "page_url")
 
     # -- derived frames -------------------------------------------------------
@@ -187,9 +190,17 @@ class CrawlEngine:
         can_retry = F.col("retry_count") < F.coalesce(
             F.col("max_retries"), F.lit(self.options.max_request_retries)
         )
+        # F2: post-load strategy re-check against the final (redirected) URL
+        from crawlee_spark.operators.enqueue import matches_enqueue_strategy_col
+
+        strategy_ok = matches_enqueue_strategy_col("url", "loaded_url", "enqueue_strategy")
         classified = fetched.withColumn(
             "_outcome",
             F.when(~F.col("_robots_ok"), F.lit("skip_robots"))
+            .when(
+                F.col("html").isNotNull() & ~strategy_ok, F.lit("skip_redirect")
+            )  # basic-crawler.ts:2124-2168 / http-crawler.ts:556-568: noRetry,
+            #    state SKIPPED, reason 'redirect', still marked handled
             .when(
                 F.col("status_code").isin(*BLOCKED_STATUS_CODES),
                 F.when(
@@ -205,12 +216,20 @@ class CrawlEngine:
             .otherwise(F.lit("success")),
         ).withColumn(
             "_error",
-            F.when(F.col("_outcome") == "success", F.lit(None).cast("string"))
+            F.when(F.col("_outcome").isin("success", "skip_redirect"), F.lit(None).cast("string"))
             .when(~F.col("_robots_ok"), F.lit("Skipped by robots.txt"))
             .when(F.col("html").isNull(), F.lit("Fetch failed: page not found in source"))
             .otherwise(F.concat(F.lit("Request failed with status "), F.col("status_code"))),
         )
         classified = classified.localCheckpoint(eager=True)
+
+        # redirect-skips go to the skipped side-output (reason 'redirect')
+        (
+            classified.filter(F.col("_outcome") == "skip_redirect")
+            .select("url", F.lit("redirect").alias("reason"), F.lit(round_id).alias("round_id"))
+            .write.mode("append")
+            .parquet(self.skipped_dir)
+        )
 
         # ---- successes: extract text + links
         succ = classified.filter(F.col("_outcome") == "success")
@@ -276,7 +295,11 @@ class CrawlEngine:
             if opts.limit is not None:
                 budget = opts.limit if budget is None else min(budget, opts.limit)
             shaped = candidates_to_requests(
-                accepted.select("url", "crawl_depth", "_arrival"), forefront=False
+                accepted.select(
+                    "url", "crawl_depth", "_arrival",
+                    F.lit(opts.strategy).alias("enqueue_strategy"),  # recorded for F2
+                ),
+                forefront=False,
             )
             fresh_rows = self.store.prepare_fresh(shaped, max_new=budget)
             new_enqueued = fresh_rows.count()
@@ -287,7 +310,10 @@ class CrawlEngine:
             "url",
             F.lit(round_id).alias("round_id"),
             F.col("retry_count").alias("attempt"),
-            F.when(F.col("_outcome") == "skip_robots", F.lit("fail")).otherwise(F.col("_outcome")).alias("outcome"),
+            F.when(F.col("_outcome") == "skip_robots", F.lit("fail"))
+            .when(F.col("_outcome") == "skip_redirect", F.lit("success"))  # handled+finished
+            .otherwise(F.col("_outcome"))
+            .alias("outcome"),
             F.col("status_code").cast("int").alias("status_code"),
             (F.lit(10) + F.pmod(F.xxhash64("request_id", F.lit(round_id)), F.lit(90))).alias("duration_ms"),
             F.col("_error").alias("error_message"),
@@ -322,6 +348,7 @@ class CrawlEngine:
 
         joined = frontier.join(updates, frontier["request_id"] == updates["u_request_id"], "left")
         is_success = F.col("u_outcome") == "success"
+        is_skipped = F.col("u_outcome") == "skip_redirect"  # handled, state SKIPPED
         is_retry = F.col("u_outcome") == "retry"
         is_session_retry = F.col("u_outcome") == "session_retry"
         is_fail = F.col("u_outcome").isin("fail", "skip_robots")
@@ -347,15 +374,17 @@ class CrawlEngine:
         merged = (
             joined.withColumn(
                 "handled_at",
-                F.when(is_success | is_fail, handled_ts).otherwise(F.col("handled_at")),
+                F.when(is_success | is_fail | is_skipped, handled_ts).otherwise(F.col("handled_at")),
             )
             .withColumn("failed", F.when(is_fail, F.lit(True)).otherwise(F.col("failed")))
             .withColumn(
                 "state",
-                F.when(is_success, F.lit(STATE_DONE))
+                F.when(is_skipped, F.lit(STATE_SKIPPED))
+                .when(is_success, F.lit(STATE_DONE))
                 .when(is_fail, F.lit(STATE_ERROR))
                 .otherwise(F.col("state")),
             )
+            .withColumn("no_retry", F.when(is_skipped, F.lit(True)).otherwise(F.col("no_retry")))
             .withColumn(
                 "retry_count",
                 F.when(is_retry, F.col("retry_count") + 1).otherwise(F.col("retry_count")),

@@ -110,6 +110,26 @@ def strategy_predicate(strategy: str, url: Column, origin_url: Column) -> Column
     raise ValueError(f"unknown enqueue strategy: {strategy}")
 
 
+def matches_enqueue_strategy_col(
+    url: Column | str, loaded_url: Column | str, strategy: Column | str
+) -> Column:
+    """F2 ``requestMatchesEnqueueStrategy`` (basic-crawler.ts:2124-2168):
+    after load, does ``loaded_url`` still satisfy the strategy recorded at
+    enqueue time vs the original ``url``? NULL strategy or NULL loaded_url
+    ⇒ matches (the reference assumes a match in both cases)."""
+    u = F.col(url) if isinstance(url, str) else url
+    lu = F.col(loaded_url) if isinstance(loaded_url, str) else loaded_url
+    s = F.col(strategy) if isinstance(strategy, str) else strategy
+    per_strategy = (
+        F.when(s == "same-hostname", strategy_predicate("same-hostname", lu, u))
+        .when(s == "same-domain", strategy_predicate("same-domain", lu, u))
+        .when(s == "same-origin", strategy_predicate("same-origin", lu, u))
+        .when(s == "all", scheme_col(u).isin(*HTTP_SCHEMES))
+        .otherwise(F.lit(True))
+    )
+    return F.when(s.isNull() | lu.isNull(), F.lit(True)).otherwise(per_strategy)
+
+
 def gate_candidates(
     links: DataFrame,
     options: EnqueueOptions,
@@ -118,13 +138,19 @@ def gate_candidates(
     origin_col_name: str = "origin_url",
     depth_col: str = "crawl_depth",
     robots_txt_col: str | None = None,
+    transform=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply F1/F3/F5/F7 gates; returns (accepted, skipped(url, reason)).
 
     ``links`` must carry the candidate URL, its source page URL
     (``origin_url``) and its depth; when ``robots_txt_col`` is given the
     robots gate runs too (rules already joined on host by the caller).
-    """
+
+    ``transform`` is the F4 ``transformRequestFunction`` hook
+    (shared.ts:299-305): a ``DataFrame → DataFrame`` callable applied to the
+    accepted set — it may mutate columns or drop rows (the reference's
+    falsy-return drop); transform-dropped rows are silent, matching the
+    reference (no skip reason is defined for them)."""
     url = F.col(url_col)
     origin = F.col(origin_col_name)
 
@@ -157,6 +183,8 @@ def gate_candidates(
 
     tagged = links.withColumn("_skip_reason", reason)
     accepted = tagged.filter(F.col("_skip_reason").isNull()).drop("_skip_reason")
+    if transform is not None:
+        accepted = transform(accepted)
     skipped = (
         tagged.filter(F.col("_skip_reason").isNotNull())
         .select(url.alias("url"), F.col("_skip_reason").alias("reason"))

@@ -204,3 +204,45 @@ def test_resume_identical_final_state(spark, tmp_store_dir, pages, pages_rows, t
     a, b = state(eng_a), state(eng_b2)
     assert a == b
     assert any(r[-1] for r in a)  # progress was made
+
+
+def test_redirect_strategy_recheck(spark, tmp_store_dir):
+    """F2: a link that redirects off-host is skipped (reason 'redirect',
+    state SKIPPED, still handled) — basic-crawler.ts:2124-2168."""
+    from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+    from crawlee_spark.operators.enqueue import EnqueueOptions
+    from crawlee_spark.operators.frontier import STATE_SKIPPED, FrontierStore
+    from crawlee_spark.operators.scheduler import PolitenessPolicy
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/start",
+                '<html><body><a href="/next">n</a></body></html>'.encode(),
+                "https://a.com/start",
+            ),
+            (
+                "https://a.com/next",
+                b"<html><body>redirected</body></html>",
+                "https://evil.example.net/landing",  # off-host redirect
+            ),
+        ],
+        "url string, html binary, loaded_url string",
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=2)
+    engine = CrawlEngine(
+        spark, store, pages,
+        policy=PolitenessPolicy(max_concurrency=10, per_host_cap=10),
+        options=CrawlOptions(enqueue=EnqueueOptions(strategy="same-hostname")),
+    )
+    engine.add_seeds(spark.createDataFrame([("https://a.com/start",)], "url string"))
+    engine.run_round()  # fetch seed, discover /next (strategy recorded)
+    engine.run_round()  # fetch /next → loaded_url violates same-hostname
+    skipped = {(r["url"], r["reason"]) for r in engine.skipped().collect()}
+    assert ("https://a.com/next", "redirect") in skipped
+    row = store.read().filter("url = 'https://a.com/next'").collect()[0]
+    assert row["state"] == STATE_SKIPPED
+    assert row["handled_at"] is not None and not row["failed"]
+    # seeds have no recorded strategy → never redirect-skipped
+    seed = store.read().filter("url = 'https://a.com/start'").collect()[0]
+    assert seed["state"] != STATE_SKIPPED
