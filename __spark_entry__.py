@@ -361,6 +361,18 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap_xml(src, origin_col="src")
 
 
+def q_json_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: application/json bodies parsed into typed columns (context.json,
+    http-crawler.ts:572-578) — from_json over the events props column."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
 def q_social_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10: email/phone/social-handle regexes (social.ts) over synthetic HTML."""
     from crawlee_spark.functions.social import (
@@ -544,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type": q_content_type,
         "sitemap_parse": q_sitemap_parse,
         "social_handles": q_social_handles,
+        "json_context": q_json_context,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -848,6 +861,12 @@ SELECT 'https://www.' || source || '.example.com/alt/' || doc_id AS loc,
   CAST(NULL AS DOUBLE) AS priority,
   'https://sitemap/' || doc_id AS origin_sitemap_url
 FROM documents
+""",
+        "json_context": """
+SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS BIGINT) AS k_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1
 """,
         "social_handles": """
 SELECT doc_id,

@@ -300,6 +300,30 @@ def html_to_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: html_to_text_py(_as_str(h)))
 
 
+def _decode(v, charset) -> str | None:
+    """E6 charset handling (http-crawler.ts:843-885): decode with the
+    response charset, falling back to utf-8 for unknown/broken encodings
+    (the reference iconv-normalizes unsupported charsets the same way)."""
+    if v is None:
+        return None
+    if not isinstance(v, (bytes, bytearray)):
+        return v
+    enc = (charset or "utf-8").strip().lower()
+    try:
+        return bytes(v).decode(enc, errors="replace")
+    except LookupError:
+        return bytes(v).decode("utf-8", errors="replace")
+
+
+@pandas_udf(StringType())
+def html_to_text_charset_udf(html: pd.Series, charset: pd.Series) -> pd.Series:
+    """htmlToText with per-row charset decode (E6)."""
+    return pd.Series(
+        [html_to_text_py(_decode(h, c)) for h, c in zip(html, charset)],
+        index=html.index,
+    )
+
+
 @pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     """Vectorized extractUrlsFromCheerio(html, 'a', base_url)."""

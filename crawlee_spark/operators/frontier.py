@@ -238,8 +238,30 @@ class FrontierStore:
             self._manifest["round"] += 1
         if extra:
             self._manifest.update(extra)
+        # per-partition lineage: rows + handled counts per written file, so
+        # every snapshot records which partitions this round touched and how
+        # (the Iceberg analog reads this from the manifest's data-file stats)
+        lineage = [
+            {
+                "file": os.path.basename(r["file"]),
+                "rows": r["rows"],
+                "handled": int(r["handled"] or 0),
+            }
+            for r in self.spark.read.parquet(out_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
+            )
+            .collect()
+        ]
         self._manifest["history"].append(
-            {"snapshot": snap, "round": self._manifest["round"], "wall": time.time()}
+            {
+                "snapshot": snap,
+                "round": self._manifest["round"],
+                "wall": time.time(),
+                "partitions": sorted(lineage, key=lambda x: x["file"]),
+            }
         )
         self._write_manifest()
         # retire old snapshots beyond a small retention window

@@ -197,3 +197,17 @@ def test_resume_from_manifest(spark, tmp_store_dir):
     # next claim continues deterministically
     nxt = claim_one(store2, rnd + 1)
     assert nxt["url"] == "http://example.com/1"
+
+
+def test_commit_records_partition_lineage(spark, tmp_store_dir):
+    """north_rule: per-partition lineage + metrics on every snapshot commit."""
+    store = make_store(spark, tmp_store_dir)
+    store.add_requests(urls_df(spark, [f"http://example.com/{i}" for i in range(20)]))
+    last = store._manifest["history"][-1]
+    parts = last["partitions"]
+    assert sum(p["rows"] for p in parts) == 20
+    assert all(p["handled"] == 0 for p in parts)
+    row = claim_one(store, 1)
+    mark_handled(store, row["request_id"], 1)
+    last = store._manifest["history"][-1]
+    assert sum(p["handled"] for p in last["partitions"]) == 1

@@ -139,3 +139,21 @@ def test_extract_links_relative_without_base_dropped():
 
 def test_extract_links_empty_href_dropped():
     assert extract_links_py('<a href="">a</a><a>b</a>', "https://x.com/") == []
+
+
+def test_charset_decode_udf(spark):
+    """E6: per-row charset decode before the text walk."""
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.functions.html_text import html_to_text_charset_udf
+
+    latin = "<html><body><p>café straße</p></body></html>".encode("latin-1")
+    utf8 = "<html><body><p>café</p></body></html>".encode("utf-8")
+    df = spark.createDataFrame(
+        [(latin, "ISO-8859-1"), (utf8, None), (utf8, "bogus-charset")],
+        "html binary, charset string",
+    )
+    rows = [r["t"] for r in df.select(html_to_text_charset_udf("html", "charset").alias("t")).collect()]
+    assert rows[0] == "café straße"
+    assert rows[1] == "café"
+    assert rows[2] == "café"  # unknown charset falls back to utf-8
