@@ -76,11 +76,13 @@ class CrawlEngine:
     robots: DataFrame | None = None  # host, robots_txt
     policy: PolitenessPolicy = field(default_factory=PolitenessPolicy)
     options: CrawlOptions = field(default_factory=CrawlOptions)
+    session_policy: "SessionPolicy | None" = None  # enable the session pool (C6)
 
     def __post_init__(self):
         self.results_dir = os.path.join(self.store.root, "results")
         self.outcomes_dir = os.path.join(self.store.root, "outcomes")
         self.skipped_dir = os.path.join(self.store.root, "skipped")
+        self.sessions_dir = os.path.join(self.store.root, "sessions")
         cols = self.pages.columns
         pages = self.pages
         if "status_code" not in cols:
@@ -112,6 +114,27 @@ class CrawlEngine:
 
     def final_statistics(self) -> dict:
         return final_statistics(self.outcomes())
+
+    # -- session pool (C6) ------------------------------------------------------
+    def session_pool(self) -> DataFrame | None:
+        if self.session_policy is None:
+            return None
+        from crawlee_spark.operators.sessions import make_pool
+
+        if not os.path.exists(self.sessions_dir):
+            make_pool(self.spark, self.session_policy.max_pool_size, 0).write.parquet(
+                self.sessions_dir
+            )
+        return self.spark.read.parquet(self.sessions_dir)
+
+    def _update_sessions(self, outcomes_with_sessions: DataFrame, round_id: int) -> None:
+        from crawlee_spark.operators.sessions import replenish_pool, update_pool
+
+        pool = self.session_pool()
+        updated = update_pool(pool, outcomes_with_sessions, self.session_policy)
+        updated = replenish_pool(self.spark, updated, round_id, self.session_policy)
+        updated = updated.localCheckpoint(eager=True)  # pin before overwrite
+        updated.write.mode("overwrite").parquet(self.sessions_dir)
 
     # -- budget (F6: basic-crawler.ts:1199-1210) ------------------------------
     def _remaining_budget(self, frontier: DataFrame) -> int | None:
@@ -161,6 +184,14 @@ class CrawlEngine:
             handled = frontier.filter(F.col("handled_at").isNotNull()).count()
             room = max(0, self.options.max_requests_per_crawl - handled)
             claimed = claimed.orderBy("order_no").limit(room)
+        # C6: rotate a session onto each claimed request (hash rotation over
+        # the usable pool — session_pool.ts:129-134)
+        if self.session_policy is not None:
+            from crawlee_spark.operators.sessions import assign_sessions
+
+            claimed = assign_sessions(claimed, self.session_pool(), round_id, self.session_policy)
+        else:
+            claimed = claimed.withColumn("session_id", F.lit(None).cast("string"))
         claimed = claimed.localCheckpoint(eager=True)  # pin the claim set
         n_claimed = claimed.count()
         if n_claimed == 0:
@@ -317,8 +348,11 @@ class CrawlEngine:
             F.col("status_code").cast("int").alias("status_code"),
             (F.lit(10) + F.pmod(F.xxhash64("request_id", F.lit(round_id)), F.lit(90))).alias("duration_ms"),
             F.col("_error").alias("error_message"),
+            F.col("session_id"),
         )
         attempt_rows.write.mode("append").parquet(self.outcomes_dir)
+        if self.session_policy is not None:
+            self._update_sessions(attempt_rows.select("session_id", "outcome"), round_id)
 
         # ---- MERGE outcomes back into the frontier + append fresh links
         merged = self._merge_outcomes(frontier, classified, round_id)

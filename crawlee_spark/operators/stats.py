@@ -28,6 +28,7 @@ OUTCOME_SCHEMA = T.StructType(
         T.StructField("status_code", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), False),
         T.StructField("error_message", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),  # C6 (null: pool off)
     ]
 )
 

@@ -72,3 +72,40 @@ def test_usable_and_replenish(spark):
     assert usable_sessions(topped, 1, POLICY).count() == 8
     # expiry: everything from round 0 dies at round 10; replacements survive
     assert usable_sessions(topped, 10, POLICY).count() == 2
+
+
+def test_engine_with_session_pool(spark, tmp_store_dir):
+    """C6 end-to-end: blocked statuses retire sessions; pool replenishes."""
+    from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+    from crawlee_spark.operators.frontier import FrontierStore
+    from crawlee_spark.operators.scheduler import PolitenessPolicy
+    from crawlee_spark.operators.sessions import SessionPolicy, usable_sessions
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/ok", b"<html><body>fine</body></html>", 200),
+            ("https://b.com/blocked", b"<html><body>denied</body></html>", 403),
+        ],
+        "url string, html binary, status_code int",
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=2)
+    policy = SessionPolicy(max_pool_size=4, max_usage_count=50, max_age_rounds=100)
+    engine = CrawlEngine(
+        spark, store, pages,
+        policy=PolitenessPolicy(max_concurrency=10, per_host_cap=10),
+        options=CrawlOptions(max_rounds=2),
+        session_policy=policy,
+    )
+    engine.add_seeds(
+        spark.createDataFrame([("https://a.com/ok",), ("https://b.com/blocked",)], "url string")
+    )
+    engine.run_round()
+    outcomes = engine.outcomes().collect()
+    assert all(r["session_id"] is not None for r in outcomes)
+    pool = engine.session_pool()
+    retired = pool.filter("retired").count()
+    assert retired == 1  # the 403 retired its session
+    assert usable_sessions(pool, 1, policy).count() == 4  # replenished back up
+    # the retry of the blocked request gets a session again next round
+    engine.run_round()
+    assert engine.outcomes().filter("round_id = 2").count() >= 1

@@ -5,7 +5,7 @@ from crawlee_spark.operators.stats import OUTCOME_SCHEMA, final_statistics
 
 
 def outcome(rid, rnd, attempt, outcome_, status, dur):
-    return (rid, f"https://x.com/{rid}", rnd, attempt, outcome_, status, dur, None)
+    return (rid, f"https://x.com/{rid}", rnd, attempt, outcome_, status, dur, None, None)
 
 
 def test_final_statistics(spark):
