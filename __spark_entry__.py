@@ -361,6 +361,29 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap_xml(src, origin_col="src")
 
 
+def q_session_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: one round of session-reputation updates (markGood/markBad/retire)
+    over outcomes synthesized from events."""
+    from crawlee_spark.operators.sessions import SessionPolicy, make_pool, update_pool
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    outcomes = ev.select(
+        F.concat(F.lit("session_r0_"), (F.col("event_id") % 16).cast("string")).alias("session_id"),
+        F.when(F.col("event_type") == "error", F.lit("fail"))
+        .when(F.col("event_type") == "purchase", F.lit("session_retry"))
+        .otherwise(F.lit("success"))
+        .alias("outcome"),
+    )
+    pool = make_pool(spark, 16, 0)
+    updated = update_pool(pool, outcomes, SessionPolicy(max_error_score=3.0, error_score_decrement=0.5))
+    return updated.select(
+        "session_id",
+        "usage_count",
+        F.floor(F.col("error_score") * 2).cast("long").alias("error_score_x2"),
+        "retired",
+    )
+
+
 def q_json_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7: application/json bodies parsed into typed columns (context.json,
     http-crawler.ts:572-578) — from_json over the events props column."""
@@ -557,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "social_handles": q_social_handles,
         "json_context": q_json_context,
+        "session_pool": q_session_pool,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -861,6 +885,22 @@ SELECT 'https://www.' || source || '.example.com/alt/' || doc_id AS loc,
   CAST(NULL AS DOUBLE) AS priority,
   'https://sitemap/' || doc_id AS origin_sitemap_url
 FROM documents
+""",
+        "session_pool": """
+WITH per AS (
+  SELECT CAST(event_id % 16 AS INT) AS slot,
+    count(*) AS uses,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bad,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ret,
+    sum(CASE WHEN event_type NOT IN ('error', 'purchase') THEN 1 ELSE 0 END) AS good
+  FROM events GROUP BY 1
+),
+pool AS (SELECT unnest(range(0, 16)) AS slot)
+SELECT 'session_r0_' || pool.slot AS session_id,
+  CAST(coalesce(uses, 0) AS BIGINT) AS usage_count,
+  CAST(floor(greatest(0.0, coalesce(bad, 0) + coalesce(ret, 0) * 3.0 - coalesce(good, 0) * 0.5) * 2) AS BIGINT) AS error_score_x2,
+  coalesce(ret, 0) > 0 AS retired
+FROM pool LEFT JOIN per ON pool.slot = per.slot
 """,
         "json_context": """
 SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS BIGINT) AS k_bucket,
