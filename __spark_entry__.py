@@ -465,6 +465,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: exact-dedup survivors → quality
+    gate (score ≥ 40) → language ID → per-(source, predicted-lang) rollup.
+
+    The shape every 100 TB curation job takes: each stage is one of the
+    already-verified operators, composed in a single plan."""
+    d = _docs(spark, sf_dir)
+    surv = DD.exact_dedup_groups(d).select(F.col("survivor_id").alias("doc_id"))
+    kept = d.join(surv, "doc_id")
+    feats = kept.select(
+        "doc_id", "source",
+        TA.quality_score_col("text").alias("quality"),
+        TA.lang_id_col("text").alias("lang_pred"),
+    )
+    return (
+        feats.filter(F.col("quality") >= 40)
+        .groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("n_docs"), F.sum("quality").alias("sum_quality"))
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -475,6 +496,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return SIM.lsh_ann_topk(queries, e, k=5, dim=64, nbits=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.ivf_topk(queries, e, k=5, n_centroids=8, nprobe=2)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,8 +613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
+        "corpus_curation": q_corpus_curation,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -750,6 +779,45 @@ scored AS (
     CASE WHEN {n_q} > 0 AND {n_c} > 0
       THEN {dot_qc} / sqrt(({n_q}) * ({n_c})) END AS score
   FROM q JOIN c ON q.bucket = c.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank,
+  CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rk <= 5
+"""
+
+    def cos_sql(a: str, b: str) -> str:
+        d, na, nb = _dot_sql(a, b), _dot_sql(a, a), _dot_sql(b, b)
+        return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / sqrt(({na}) * ({nb})) END"
+
+    ivf_sql = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+assign AS (
+  SELECT vec_id, cv, cid AS ivf_cell FROM (
+    SELECT c.vec_id, c.cv, cents.cid,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY ({cos_sql('cv', 'ce')}) DESC, cents.cid ASC) AS rk
+    FROM c, cents
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+qcells AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.qid, q.qe, cents.cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY ({cos_sql('qe', 'ce')}) DESC, cents.cid ASC) AS rk
+    FROM q, cents
+  ) WHERE rk <= 2
+),
+scored AS (
+  SELECT qcells.qid AS query_id, assign.vec_id,
+    ({cos_sql('qe', 'cv')}) AS score
+  FROM qcells JOIN assign ON assign.ivf_cell = qcells.cid
 ),
 ranked AS (
   SELECT query_id, vec_id, score,
@@ -969,8 +1037,43 @@ SELECT doc_id, n_tokens, bpe_tokens, punct_cnt, stopword_cnt, mean_token_len_e3,
        ELSE 'zh' END AS lang_pred
 FROM feat
 """,
+        "corpus_curation": f"""
+WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT d.doc_id, d.source,
+    CASE WHEN trim(d.text) = '' THEN [] ELSE regexp_split_to_array(trim(d.text), '\\s+') END AS toks
+  FROM documents d JOIN surv ON surv.doc_id = d.doc_id
+),
+feat AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> lower(x) IN ({stop}))) AS BIGINT) AS stopword_cnt,
+    CASE WHEN len(toks) > 0
+      THEN CAST(floor(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) * 1000 / len(toks)) AS BIGINT)
+      ELSE 0 END AS mean_token_len_e3,
+    {_lang_hits_sql()}
+  FROM t
+),
+scored AS (
+  SELECT doc_id, source,
+    CAST(floor(least(n_tokens, 200) * 40 / 200)
+       + floor(least(CASE WHEN n_tokens > 0 THEN floor(stopword_cnt * 100 / n_tokens) ELSE 0 END, 10) * 30 / 10)
+       + CASE WHEN mean_token_len_e3 BETWEEN 3000 AND 10000 THEN 30 ELSE 0 END AS BIGINT) AS quality,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_pred
+  FROM feat
+)
+SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(quality) AS BIGINT) AS sum_quality
+FROM scored WHERE quality >= 40 GROUP BY source, lang_pred
+""",
         "ann_cosine_topk": ann_sql,
         "ann_lsh_topk": lsh_ann_sql,
+        "ann_ivf_topk": ivf_sql,
         "embedding_neardup": neardup_sql,
         "multimodal_meta": """
 WITH m AS (

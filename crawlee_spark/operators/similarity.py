@@ -168,6 +168,94 @@ def lsh_ann_topk(
     )
 
 
+def with_centroid_scores(df: DataFrame, vec_col: str, centroids: list[list[float]], prefix: str) -> DataFrame:
+    """Materialize cosine(vec, centroid_i) as columns ``{prefix}{i}``.
+
+    MUST be columns, not inlined expressions: the downstream argmin chains
+    reference each score several times, and inlining the 64-literal cosine
+    tree into every reference explodes the plan exponentially (OOM in the
+    analyzer before a single row is read)."""
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        df = df.withColumn(f"{prefix}{i}", F.coalesce(cosine_col(vec_col, carr), F.lit(-2.0)))
+    return df
+
+
+def _argmax_excluding(n: int, prefix: str, excluded: list):
+    """Index of the max score column, ties → lowest index, skipping any
+    index equal to one of the ``excluded`` (int columns)."""
+    best_idx = F.lit(-1).cast("int")
+    best = F.lit(-9.0)
+    for i in range(n):
+        cond = F.col(f"{prefix}{i}") > best
+        for e in excluded:
+            cond = cond & (e != F.lit(i))
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best = F.when(cond, F.col(f"{prefix}{i}")).otherwise(best)
+    return best_idx
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe each query's ``nprobe`` nearest lists only.
+
+    Centroid "training" is deterministic: the first ``n_centroids`` corpus
+    vectors serve as the coarse quantizer (no RNG, no iteration — at real
+    scale a k-means|| fit would replace this one function). Same output
+    shape as ``cosine_topk``; recall < 1 by design, fan-in reduced by
+    ~n_centroids/nprobe. Compared to ``lsh_ann_topk`` this is the
+    partition-pruning flavor of ANN: the corpus is physically clusterable
+    by ``ivf_cell`` (partitionBy on write ⇒ Spark prunes non-probed cells
+    at scan time)."""
+    cents = [
+        list(r[vec_col])
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    c = with_centroid_scores(
+        corpus.select(id_col, F.col(vec_col).alias("_cvec")), "_cvec", cents, "_cs"
+    )
+    c = c.withColumn("ivf_cell", _argmax_excluding(n_centroids, "_cs", [])).drop(
+        *[f"_cs{i}" for i in range(n_centroids)]
+    )
+    # each query probes its nprobe nearest cells (p-th pick materialized as
+    # a column so later picks reference it by name, keeping the plan linear)
+    q = with_centroid_scores(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
+        "_qvec", cents, "_qs",
+    )
+    for p in range(nprobe):
+        prev = [F.col(f"_probe{j}") for j in range(p)]
+        q = q.withColumn(f"_probe{p}", _argmax_excluding(n_centroids, "_qs", prev))
+    q = q.withColumn("_cells", F.array(*[F.col(f"_probe{p}") for p in range(nprobe)])).drop(
+        *[f"_qs{i}" for i in range(n_centroids)], *[f"_probe{p}" for p in range(nprobe)]
+    )
+    scored = (
+        c.join(F.broadcast(q), F.array_contains(F.col("_cells"), F.col("ivf_cell")))
+        .withColumn("_score", cosine_col("_qvec", "_cvec"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("_score") * 1_000_000).cast("long").alias("score_e6"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -71,3 +71,21 @@ def test_embedding_neardup_pairs(corpus):
     assert (0, 4) in pairs  # exact duplicate pair
     assert pairs[(0, 4)] >= 999_999
     assert all(a < b for a, b in pairs)
+
+
+def test_ivf_topk(corpus, spark):
+    from crawlee_spark.operators.similarity import ivf_topk
+
+    q = corpus.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    # centroids = vecs 0,1,2; nprobe=1 → query 0 probes its own cell
+    rows = ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=1).orderBy("rank").collect()
+    got = [r["vec_id"] for r in rows]
+    # cell of centroid 0 holds exactly {0, 4} (the duplicate pair)
+    assert got == [0, 4]
+    assert rows[0]["score_e6"] >= 999_999
+    # nprobe=3 probes every cell → equals exact brute force top-3
+    from crawlee_spark.operators.similarity import cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(q, corpus, k=3).orderBy("rank").collect()]
+    full = [r["vec_id"] for r in ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=3).orderBy("rank").collect()]
+    assert full == exact
