@@ -354,11 +354,20 @@ class CrawlEngine:
         if self.session_policy is not None:
             self._update_sessions(attempt_rows.select("session_id", "outcome"), round_id)
 
-        # ---- MERGE outcomes back into the frontier + append fresh links
-        merged = self._merge_outcomes(frontier, classified, round_id)
-        if fresh_rows is not None:
-            merged = merged.unionByName(fresh_rows)
-        self.store.commit(merged, round_increment=True)
+        # ---- MERGE outcomes back into the frontier + append fresh links.
+        # The touched set is just the claimed rows' new versions + fresh rows;
+        # with merge-on-read that's ALL we write (O(claimed+fresh) per round);
+        # otherwise the untouched remainder is carried by an anti-join union
+        # (never a frontier-wide equality join against the update set).
+        updated = self._outcome_rows(classified, round_id)
+        delta = updated if fresh_rows is None else updated.unionByName(fresh_rows)
+        if self.store.merge_on_read:
+            self.store.commit_delta(delta, round_increment=True)
+        else:
+            untouched = frontier.join(
+                classified.select("request_id"), "request_id", "left_anti"
+            )
+            self.store.commit(untouched.unionByName(delta), round_increment=True)
 
         n_success = extracted.count()
         return {
@@ -370,28 +379,25 @@ class CrawlEngine:
             "done": False,
         }
 
-    def _merge_outcomes(self, frontier: DataFrame, classified: DataFrame, round_id: int) -> DataFrame:
-        """Set-wise markRequestHandled / reclaimRequest (O8/O9, C4-C6)."""
-        updates = classified.select(
-            F.col("request_id").alias("u_request_id"),
-            F.col("_outcome").alias("u_outcome"),
-            F.col("_error").alias("u_error"),
-        )
+    def _outcome_rows(self, classified: DataFrame, round_id: int) -> DataFrame:
+        """Set-wise markRequestHandled / reclaimRequest (O8/O9, C4-C6) applied
+        DIRECTLY to the claimed rows: the claim already carries the frontier
+        columns, so the state transition is a map-only projection over
+        O(claimed) rows — no frontier-wide join anywhere in the round."""
         handled_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.lit(round_id))
         new_seq_base = self.store.order_seq
 
-        joined = frontier.join(updates, frontier["request_id"] == updates["u_request_id"], "left")
-        is_success = F.col("u_outcome") == "success"
-        is_skipped = F.col("u_outcome") == "skip_redirect"  # handled, state SKIPPED
-        is_retry = F.col("u_outcome") == "retry"
-        is_session_retry = F.col("u_outcome") == "session_retry"
-        is_fail = F.col("u_outcome").isin("fail", "skip_robots")
+        is_success = F.col("_outcome") == "success"
+        is_skipped = F.col("_outcome") == "skip_redirect"  # handled, state SKIPPED
+        is_retry = F.col("_outcome") == "retry"
+        is_session_retry = F.col("_outcome") == "session_retry"
+        is_fail = F.col("_outcome").isin("fail", "skip_robots")
+        is_reclaim = is_retry | is_session_retry
 
         # fresh order_no for reclaimed rows: back of FIFO / front if forefront,
         # preserving their previous relative order. Sparse assignment from the
         # old |order_no| (unique) — one small aggregate, no global window.
-        reclaim = joined.filter(is_retry | is_session_retry)
-        rstats = reclaim.agg(
+        rstats = classified.filter(is_reclaim).agg(
             F.count("*").alias("n"),
             F.min(F.abs(F.col("order_no"))).alias("lo"),
             F.max(F.abs(F.col("order_no"))).alias("hi"),
@@ -399,14 +405,10 @@ class CrawlEngine:
         n_reclaims = int(rstats["n"] or 0)
         r_lo = int(rstats["lo"]) if rstats["lo"] is not None else 0
         r_span = (int(rstats["hi"]) - r_lo + 1) if n_reclaims else 0
-        reclaim_seq = reclaim.select(
-            F.col("request_id").alias("r_request_id"),
-            (F.lit(new_seq_base) + (F.abs(F.col("order_no")) - F.lit(r_lo)) + 1).alias("_rseq"),
-        )
-        joined = joined.join(reclaim_seq, joined["request_id"] == reclaim_seq["r_request_id"], "left")
+        rseq = F.lit(new_seq_base) + (F.abs(F.col("order_no")) - F.lit(r_lo)) + 1
 
-        merged = (
-            joined.withColumn(
+        updated = (
+            classified.withColumn(
                 "handled_at",
                 F.when(is_success | is_fail | is_skipped, handled_ts).otherwise(F.col("handled_at")),
             )
@@ -432,26 +434,22 @@ class CrawlEngine:
             .withColumn(
                 "error_messages",
                 F.when(
-                    (is_retry | is_fail | is_session_retry) & F.col("u_error").isNotNull(),
-                    F.concat(F.coalesce(F.col("error_messages"), F.array()), F.array(F.col("u_error"))),
+                    (is_reclaim | is_fail) & F.col("_error").isNotNull(),
+                    F.concat(F.coalesce(F.col("error_messages"), F.array()), F.array(F.col("_error"))),
                 ).otherwise(F.col("error_messages")),
             )
             .withColumn(
                 "order_no",
                 F.when(
-                    (is_retry | is_session_retry) & F.col("_rseq").isNotNull(),
-                    F.when(F.col("forefront"), -F.col("_rseq")).otherwise(F.col("_rseq")).cast("long"),
+                    is_reclaim,
+                    F.when(F.col("forefront"), -rseq).otherwise(rseq).cast("long"),
                 ).otherwise(F.col("order_no")),
             )
             .withColumn("lease_until", F.lit(None).cast("long"))
-            .withColumn(
-                "round_id",
-                F.when(F.col("u_outcome").isNotNull(), F.lit(round_id)).otherwise(F.col("round_id")),
-            )
-            .drop("u_request_id", "u_outcome", "u_error", "r_request_id", "_rseq")
+            .withColumn("round_id", F.lit(round_id))
         )
         self.store._manifest["order_seq"] = new_seq_base + r_span
-        return merged.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        return updated.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
     # -- full crawl -------------------------------------------------------------
     def run(self, seeds: DataFrame | None = None) -> dict:
