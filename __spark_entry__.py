@@ -509,6 +509,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(e, dim=64, nbits=4, threshold_e6=400_000)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas, stubbed codec): no SQL oracle
+    — the deterministic fake decode is not expressible in DuckDB, so the
+    driver records the weaker rows-only check for this one."""
+    from crawlee_spark.operators.multimodal import decode_image_features
+
+    d = _docs(spark, sf_dir)
+    png_magic = F.unhex(F.lit("89504E470D0A1A0A"))
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(png_magic, F.encode("text", "UTF-8")))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("content"),
+    )
+    return decode_image_features(media, feat_dim=8, batch_partitions=8)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     png_magic = F.unhex(F.lit("89504E470D0A1A0A"))
@@ -619,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,  # rows-only: no oracle_sql entry
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topn_customers": q_join_topn_customers,
         "anti_join_inactive": q_anti_join_inactive,

@@ -122,6 +122,22 @@ def is_allowed_py(url: str | None, robots_txt: str | None, user_agent: str = "*"
     return _parse_cached(robots_txt).is_allowed(url, user_agent)
 
 
+def sitemap_urls_col(robots_txt):
+    """``RobotsTxtFile.getSitemaps`` (robots.ts:127-137): the ``Sitemap:``
+    directives of a robots.txt, as an array column — pure regex, no UDF.
+
+    Directive parsing is line-anchored and case-insensitive, comments
+    stripped, values trimmed (RFC 9309 §2.3 'sitemap' extension)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(robots_txt) if isinstance(robots_txt, str) else robots_txt
+    no_comments = F.regexp_replace(c, r"(?m)#.*$", "")
+    return F.transform(
+        F.regexp_extract_all(no_comments, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)),
+        lambda s: F.trim(s),
+    )
+
+
 @pandas_udf(BooleanType())
 def robots_allowed_udf(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
     """Vectorized robots gate over (url, robots_txt) columns.

@@ -66,3 +66,20 @@ def test_no_rule_means_allowed():
     # undefined ⇒ allowed (robots.ts:122-124)
     txt = "User-agent: *\nDisallow: /only-this\n"
     assert is_allowed_py("http://x.com/else", txt)
+
+
+def test_sitemap_directives(spark):
+    """robots.ts:127-137 getSitemaps: Sitemap: lines → array of URLs."""
+    from crawlee_spark.functions.robots import sitemap_urls_col
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://example.com/sitemap.xml  \n"
+        "sitemap: https://example.com/news.xml # inline comment\n"
+        "# Sitemap: https://example.com/commented-out.xml\n"
+    )
+    df = spark.createDataFrame([(txt,), (None,), ("User-agent: *\n",)], "robots_txt string")
+    rows = [r["s"] for r in df.select(sitemap_urls_col("robots_txt").alias("s")).collect()]
+    assert rows[0] == ["https://example.com/sitemap.xml", "https://example.com/news.xml"]
+    assert rows[1] is None or rows[1] == []
+    assert rows[2] == []
