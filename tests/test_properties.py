@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These harden the invariants the distributed engine leans on: keying is
+deterministic and idempotent, ids are fixed-width, the glob compiler never
+produces a regex that throws, and the robots matcher is total."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlee_spark.functions.keying import (
+    compute_unique_key_py,
+    normalize_url_py,
+    registrable_domain_py,
+    request_id_py,
+)
+from crawlee_spark.functions.robots import is_allowed_py
+from crawlee_spark.operators.enqueue import glob_to_regex
+
+# URL-ish strings: scheme://host/path?query#fragment from constrained pieces
+_hosts = st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + "-", min_size=1, max_size=8),
+    min_size=1, max_size=4,
+).map(lambda ls: ".".join(ls))
+_paths = st.text(alphabet=string.ascii_letters + string.digits + "/._-~%", max_size=30)
+_queries = st.lists(
+    st.tuples(
+        st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=8),
+        st.text(alphabet=string.ascii_letters + string.digits, max_size=6),
+    ),
+    max_size=5,
+).map(lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+    host = draw(_hosts)
+    path = draw(_paths)
+    q = draw(_queries)
+    frag = draw(st.text(alphabet=string.ascii_lowercase, max_size=6))
+    u = f"{scheme}://{host}/{path}"
+    if q:
+        u += f"?{q}"
+    if frag:
+        u += f"#{frag}"
+    return u
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(u):
+    once = normalize_url_py(u)
+    if once is not None:
+        assert normalize_url_py(once) == once  # fixed point
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_normalize_casefolds_and_strips(u):
+    n = normalize_url_py(u)
+    if n is None:
+        return
+    scheme, rest = n.split("://", 1)
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0].split("?", 1)[0]
+    assert host == host.lower()
+    assert "#" not in n  # fragment dropped by default
+    assert "utm_" not in n.split("?", 1)[-1] if "?" in n else True
+
+
+@given(urls(), urls())
+@settings(max_examples=200, deadline=None)
+def test_request_id_shape_and_injectivity_proxy(a, b):
+    ka = compute_unique_key_py(a)
+    kb = compute_unique_key_py(b)
+    ra, rb = request_id_py(ka), request_id_py(kb)
+    assert len(ra) == 15 and len(rb) == 15
+    assert re.fullmatch(r"[A-Za-z0-9]{15}", ra)
+    if ka == kb:
+        assert ra == rb  # deterministic
+    if ra != rb:
+        assert ka != kb  # distinct ids ⇒ distinct keys
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_glob_compiler_never_throws(g):
+    rx = glob_to_regex(g)
+    re.compile(rx.replace("(?i)", ""))  # valid Python regex too
+    # a glob with no metacharacters matches itself
+    if not any(ch in g for ch in "*?{}[]()\\^$.|+"):
+        assert re.fullmatch(rx.replace("(?i)", "(?i)"), g, flags=0) or re.match(rx, g)
+
+
+@given(urls(), st.text(alphabet=string.printable, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_robots_matcher_total(u, txt):
+    # never throws, always returns a bool, empty rules ⇒ allowed
+    assert is_allowed_py(u, txt) in (True, False)
+    assert is_allowed_py(u, "") is True
+    assert is_allowed_py(None, txt) is False
+
+
+@given(_hosts)
+@settings(max_examples=200, deadline=None)
+def test_registrable_domain_is_suffix(h):
+    d = registrable_domain_py(h)
+    if d and "." in h:
+        assert h.lower().endswith(d.lower()) or d == h.lower()
