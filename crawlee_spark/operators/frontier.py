@@ -205,30 +205,32 @@ class FrontierStore:
         return os.path.join(self.root, "deltas", f"d{seq:06d}")
 
     # -- table I/O -----------------------------------------------------------
-    def read(self) -> DataFrame:
+    def read(self, columns: list[str] | None = None) -> DataFrame:
         """Current frontier (empty frame before the first commit).
 
         With merge-on-read: base snapshot ∪ delta files, last-writer-wins per
         request_id by delta sequence — one map-side-combinable ``max_by``
         per read, the standard MOR merge. Reads get slower as deltas pile
-        up; ``compact_every`` bounds that by rewriting the base."""
+        up; ``compact_every`` bounds that by rewriting the base.
+
+        ``columns`` prunes the merge: the MOR max_by struct otherwise carries
+        every column, defeating parquet column pruning — monitoring reads
+        (counters, is_finished) should pass just what they need."""
         snap = self._manifest["snapshot"]
         deltas = self._manifest.get("deltas", [])
+        want = None
+        if columns is not None:
+            want = ["request_id"] + [c for c in columns if c != "request_id"]
         if snap < 0 and not deltas:
-            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            return empty.select(*want) if want else empty
         parts = []
         if snap >= 0:
-            parts.append(
-                self.spark.read.schema(FRONTIER_SCHEMA)
-                .parquet(self._snapshot_dir(snap))
-                .withColumn("_cseq", F.lit(-1).cast("long"))
-            )
+            p = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._snapshot_dir(snap))
+            parts.append((p.select(*want) if want else p).withColumn("_cseq", F.lit(-1).cast("long")))
         for seq in deltas:
-            parts.append(
-                self.spark.read.schema(FRONTIER_SCHEMA)
-                .parquet(self._delta_dir(seq))
-                .withColumn("_cseq", F.lit(seq).cast("long"))
-            )
+            p = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._delta_dir(seq))
+            parts.append((p.select(*want) if want else p).withColumn("_cseq", F.lit(seq).cast("long")))
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
@@ -490,7 +492,7 @@ class FrontierStore:
     # -- queue metadata (aggregate view, request-queue.ts:596-610) ------------
     def info(self) -> dict:
         row = (
-            self.read()
+            self.read(columns=["handled_at"])
             .agg(
                 F.count("*").alias("total"),
                 F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
@@ -508,5 +510,10 @@ class FrontierStore:
         """O10: no pending, eligible rows remain (leases count as in-progress
         only within the round that holds them — between rounds a lease from a
         crashed round has expired by round-number comparison)."""
-        pending = self.read().filter(F.col("handled_at").isNull()).limit(1).count()
+        pending = (
+            self.read(columns=["handled_at"])
+            .filter(F.col("handled_at").isNull())
+            .limit(1)
+            .count()
+        )
         return pending == 0
