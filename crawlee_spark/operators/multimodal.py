@@ -140,6 +140,95 @@ def decode_image_features(
     return src.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_side: int = 256,
+) -> DataFrame:
+    """STUB resize: emits (doc_id, width, height, content) with the target
+    geometry and a deterministic fake payload.
+
+    Real implementation swaps ``_fake_resize`` for PIL thumbnail; the Spark
+    shape — binary-in/binary-out mapInPandas with bounded Arrow batches —
+    is the real, tested part. Aspect ratio follows the fake-decoded
+    dimensions, capped at ``max_side``."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+
+    def _fake_resize(blob: bytes) -> tuple[int, int, bytes]:
+        w, h, _ = _fake_decode(blob, 1)
+        scale = min(1.0, max_side / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        # deterministic fake pixels: digest-seeded bytes of the right size class
+        d = hashlib.md5(blob).digest()
+        return nw, nh, (d * ((nw * nh) // len(d) + 1))[: nw * nh]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                nw, nh, out = _fake_resize(blob)
+                rows.append((int(doc_id), nw, nh, out))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "content"])
+
+    return src.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    feat_dim: int = 8,
+) -> DataFrame:
+    """STUB audio featurizer: (doc_id, format, duration_ms, feature).
+
+    Duration is a deterministic proxy (bytes at a nominal 16 kB/s); the
+    feature vector derives from the content digest. Real build: ffmpeg/
+    torchaudio behind the same mapInPandas signature."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                fmt = "unknown"
+                head = blob[:8].hex()
+                for prefix, name in MAGIC_PREFIXES:
+                    if head.startswith(prefix.lower()):
+                        fmt = name
+                        break
+                dur = len(blob) * 1000 // 16000
+                _, _, feat = _fake_decode(blob, feat_dim)
+                rows.append((int(doc_id), fmt, dur, feat))
+            yield pd.DataFrame(rows, columns=["doc_id", "format", "duration_ms", "feature"])
+
+    return src.mapInPandas(featurize, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

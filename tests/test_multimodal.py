@@ -61,3 +61,26 @@ def test_sample_frames(media):
     assert len(by_doc[3]) == 1
     assert sorted(r["frame_idx"] for r in by_doc[2]) == [0, 1, 2]
     assert all(len(r["frame_md5"]) == 32 for r in rows)
+
+
+def test_resize_images_stub(media):
+    from crawlee_spark.operators.multimodal import resize_images
+
+    rows = {r["doc_id"]: r for r in resize_images(media, max_side=100).collect()}
+    for doc_id, r in rows.items():
+        assert 1 <= r["width"] <= 100 and 1 <= r["height"] <= 100
+        assert len(r["content"]) == r["width"] * r["height"]
+    again = {r["doc_id"]: r for r in resize_images(media, max_side=100).collect()}
+    assert rows[1]["content"] == again[1]["content"]  # deterministic
+
+
+def test_audio_features_stub(spark):
+    from crawlee_spark.operators.multimodal import extract_audio_features
+
+    mp3 = bytes.fromhex("494433") + b"x" * 32000  # ID3 magic, ~2s at 16kB/s
+    df = spark.createDataFrame([(1, mp3), (2, b"short")], "doc_id long, content binary")
+    rows = {r["doc_id"]: r for r in extract_audio_features(df, feat_dim=4).collect()}
+    assert rows[1]["format"] == "mp3"
+    assert abs(rows[1]["duration_ms"] - 2000) < 10
+    assert len(rows[1]["feature"]) == 4
+    assert rows[2]["format"] == "unknown"
