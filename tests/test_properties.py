@@ -53,8 +53,22 @@ def urls(draw):
 @settings(max_examples=300, deadline=None)
 def test_normalize_idempotent(u):
     once = normalize_url_py(u)
-    if once is not None:
+    if once is None:
+        return
+    # Reference fidelity: normalizeUrl strips exactly ONE trailing slash
+    # (JS `path.replace(/\/$/, '')`, no /g), so a path ending in '//' is
+    # not a fixed point in the reference either. Property: outputs not
+    # ending in '/' are fixed points; others converge monotonically.
+    if not once.split("?", 1)[0].endswith("/"):
         assert normalize_url_py(once) == once  # fixed point
+    else:
+        cur = once
+        for _ in range(len(once)):
+            nxt = normalize_url_py(cur)
+            if nxt == cur:
+                break
+            assert len(nxt) < len(cur)  # strictly shrinking → converges
+            cur = nxt
 
 
 @given(urls())
