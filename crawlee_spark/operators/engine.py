@@ -332,8 +332,11 @@ class CrawlEngine:
                 ),
                 forefront=False,
             )
+            total_before = self.store._manifest["total_requests"]
             fresh_rows = self.store.prepare_fresh(shaped, max_new=budget)
-            new_enqueued = fresh_rows.count()
+            # prepare_fresh already counted the survivors into the manifest —
+            # no extra job for the metric
+            new_enqueued = self.store._manifest["total_requests"] - total_before
 
         # ---- outcomes log append
         attempt_rows = classified.select(
