@@ -510,9 +510,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (mapInPandas, stubbed codec): no SQL oracle
-    — the deterministic fake decode is not expressible in DuckDB, so the
-    driver records the weaker rows-only check for this one."""
+    """Multimodal decode plumbing (mapInPandas, stubbed codec), projected to
+    hashable scalars: the ``feature: array<float>`` column is posexploded to
+    one (feat_idx, feat_byte) row per component so the driver's canonicalizer
+    (pandas sort over all columns) never sees a list value. ``feat_byte``
+    recovers the stub's source byte exactly: feature[i] = k/255 as float32,
+    and round(float32(k/255)·255) == k for every k in 0..255."""
     from crawlee_spark.operators.multimodal import decode_image_features
 
     d = _docs(spark, sf_dir)
@@ -523,7 +526,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.encode("text", "UTF-8"))
         .alias("content"),
     )
-    return decode_image_features(media, feat_dim=8, batch_partitions=8)
+    decoded = decode_image_features(media, feat_dim=8, batch_partitions=8)
+    return decoded.select(
+        "doc_id",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.posexplode("feature").alias("feat_idx", "_fv"),
+    ).select(
+        "doc_id", "format", "width", "height",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.round(F.col("_fv").cast("double") * 255).cast("long").alias("feat_byte"),
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,7 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,  # rows-only: no oracle_sql entry
+        "multimodal_decode": q_multimodal_decode,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topn_customers": q_join_topn_customers,
         "anti_join_inactive": q_anti_join_inactive,
@@ -845,6 +859,31 @@ ranked AS (
 SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank,
   CAST(floor(score * 1000000) AS BIGINT) AS score_e6
 FROM ranked WHERE rk <= 5
+"""
+
+    # ---- multimodal decode oracle: the stub keys every output on
+    # md5(hex(content)) (uppercase hex), so DuckDB recomputes digest bytes
+    # from the md5 hex string: byte_j = 16*hv(2j+1) + hv(2j+2).
+    def _md5_byte(h: str, j: int) -> str:
+        hv1 = f"(strpos('0123456789abcdef', substr({h}, {2 * j + 1}, 1)) - 1)"
+        hv2 = f"(strpos('0123456789abcdef', substr({h}, {2 * j + 2}, 1)) - 1)"
+        return f"({hv1} * 16 + {hv2})"
+
+    decode_sql = f"""
+WITH m AS (
+  SELECT doc_id,
+    md5(hex(CASE WHEN doc_id % 5 = 0 THEN from_hex('89504E470D0A1A0A') || encode(text)
+         ELSE encode(text) END)) AS h,
+    CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS format
+  FROM documents
+)
+SELECT doc_id, format,
+  CAST(64 + {_md5_byte('h', 0)} % 192 AS BIGINT) AS width,
+  CAST(64 + {_md5_byte('h', 1)} % 192 AS BIGINT) AS height,
+  CAST(i.i AS BIGINT) AS feat_idx,
+  CAST((list_value({', '.join(_md5_byte('h', j) for j in range(8))})[i.i + 1] * 31 + i.i) % 256 AS BIGINT)
+    AS feat_byte
+FROM m, (SELECT unnest(range(0, 8)) AS i) i
 """
 
     dot_ab = _dot_sql("va", "vb")
@@ -1089,6 +1128,7 @@ SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(quality) AS BIGINT) AS sum_quality
 FROM scored WHERE quality >= 40 GROUP BY source, lang_pred
 """,
+        "multimodal_decode": decode_sql,
         "ann_cosine_topk": ann_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": ivf_sql,

@@ -85,10 +85,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def _fake_decode(content: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     """STUB: deterministic fake decode (no codec libs in this container).
 
-    Derives (width, height, feature vector) from the md5 of the bytes so the
-    pipeline is testable end-to-end and reproducible. A production build
-    replaces this single function with PIL/ffmpeg + a vision encoder."""
-    d = hashlib.md5(content).digest()
+    Derives (width, height, feature vector) from the md5 of the UPPERCASE HEX
+    of the bytes so the pipeline is testable end-to-end, reproducible, AND
+    recomputable by any SQL oracle (DuckDB's md5 is VARCHAR-only, and both
+    Spark's ``hex()`` and DuckDB's ``hex()`` emit uppercase). A production
+    build replaces this single function with PIL/ffmpeg + a vision encoder."""
+    d = hashlib.md5(content.hex().upper().encode()).digest()
     width = 64 + d[0] % 192
     height = 64 + d[1] % 192
     feat = [((d[i % 16] * 31 + i) % 256) / 255.0 for i in range(feat_dim)]
