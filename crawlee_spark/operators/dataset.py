@@ -22,12 +22,14 @@ Reference semantics:
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass
@@ -37,12 +39,44 @@ class Dataset:
     spark: SparkSession
     root: str
 
+    def _meta_path(self) -> str:
+        return self.root.rstrip("/") + ".meta.json"
+
+    def _next_seq(self) -> int:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                return int(json.load(f)["next_seq"])
+        return 0
+
+    def _advance_seq(self, next_seq: int) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next_seq": next_seq}, f)
+        os.replace(tmp, self._meta_path())
+
     def push_data(self, df: DataFrame, order_from: str | None = None) -> None:
-        """S7 pushData: append rows; push order recorded in ``push_seq``
-        (from ``order_from`` when the caller has a deterministic sequence,
-        else a monotonic id)."""
-        seq = F.col(order_from) if order_from else F.monotonically_increasing_id()
-        df.withColumn("push_seq", seq.cast("long")).write.mode("append").parquet(self.root)
+        """S7 pushData: append rows; push order recorded in ``push_seq`` =
+        a driver-maintained base counter + the in-batch rank, so the sequence
+        is contiguous across pushes and identical across re-runs (the
+        frontier's order_seq discipline — never monotonically_increasing_id,
+        which is partition-layout-dependent). In-batch rank comes from
+        ``order_from`` when the caller has an arrival order, else from a
+        stable row digest (deterministic, arbitrary-but-repeatable order).
+        The rank window is a single pass over one push batch (result-log
+        sized, not frontier sized)."""
+        base = self._next_seq()
+        order = (
+            F.col(order_from)
+            if order_from
+            else F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        )
+        out = df.withColumn(
+            "push_seq", (F.lit(base) + F.row_number().over(Window.orderBy(order))).cast("long")
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the count+write pair
+        n = out.count()
+        out.write.mode("append").parquet(self.root)
+        self._advance_seq(base + n)
 
     def read(self) -> DataFrame:
         if not os.path.exists(self.root):
@@ -77,14 +111,18 @@ def route_by_label(
 ) -> DataFrame:
     """C13 Router: apply each label's handler to its slice and union.
 
-    Rows whose label has no handler go to ``default_handler``; if none is
-    given they raise — matching Router.addHandler/addDefaultHandler
-    (packages/core/src/router.ts: missing route throws
-    'No route for label...'). The check is set-wise: one aggregation over
-    distinct labels instead of a per-row throw."""
+    Rows whose label has no handler — INCLUDING null labels, the reference's
+    "no userData.label" case — go to ``default_handler``; if none is given
+    they raise — matching Router.addHandler/addDefaultHandler
+    (packages/core/src/router.ts: missing label runs the default handler,
+    missing route throws 'No route for label...'). The check is set-wise:
+    one aggregation over distinct labels instead of a per-row throw.
+    NB: ``~label.isin(...)`` alone is NULL-false for null labels, which
+    would silently drop them from every branch — the isNull() arm is
+    load-bearing."""
     label = F.col(label_col)
     known = [k for k in handlers]
-    unrouted = df.filter(~label.isin(*known) if known else F.lit(True))
+    unrouted = df.filter(label.isNull() | ~label.isin(*known) if known else F.lit(True))
     if default_handler is None:
         bad = [r[0] for r in unrouted.select(label_col).distinct().limit(5).collect()]
         if bad:

@@ -229,16 +229,20 @@ class CrawlEngine:
             "_outcome",
             F.when(~F.col("_robots_ok"), F.lit("skip_robots"))
             .when(
-                F.col("html").isNotNull() & ~strategy_ok, F.lit("skip_redirect")
-            )  # basic-crawler.ts:2124-2168 / http-crawler.ts:556-568: noRetry,
-            #    state SKIPPED, reason 'redirect', still marked handled
-            .when(
+                # blocked statuses BEFORE the redirect-strategy recheck:
+                # _throwOnBlockedRequest (http-crawler.ts:547) fires before
+                # requestMatchesEnqueueStrategy (:556) — a redirect landing on
+                # 401/403/429 session-rotates, it is not permanently SKIPPED
                 F.col("status_code").isin(*BLOCKED_STATUS_CODES),
                 F.when(
                     F.col("session_rotation_count") < self.options.max_session_rotations,
                     F.lit("session_retry"),
                 ).otherwise(F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail"))),
             )
+            .when(
+                F.col("html").isNotNull() & ~strategy_ok, F.lit("skip_redirect")
+            )  # basic-crawler.ts:2124-2168 / http-crawler.ts:556-568: noRetry,
+            #    state SKIPPED, reason 'redirect', still marked handled
             .when(
                 F.col("html").isNull() | (F.col("status_code") >= 500),
                 F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail")),
@@ -274,7 +278,8 @@ class CrawlEngine:
             extracted.select(
                 "request_id",
                 "url",
-                F.col("url").alias("loaded_url"),
+                # request.loadedUrl = response.url (redirect-aware final URL)
+                F.coalesce(F.col("loaded_url"), F.col("url")).alias("loaded_url"),
                 F.col("extracted_text").alias("text"),
                 "crawl_depth",
                 "label",
@@ -318,9 +323,14 @@ class CrawlEngine:
             accepted, skipped = gate_candidates(links, opts, robots_txt_col=robots_col)
             skipped.withColumn("round_id", F.lit(round_id)).write.mode("append").parquet(self.skipped_dir)
             # deterministic arrival order: (parent rank in this round, position
-            # on page) — both small, so the key stays far from long overflow
+            # on page). 32-bit stride: parent rank is bounded by the per-round
+            # claim (max_concurrency < 2^31) and no real page yields 2^32
+            # links, so the key is collision-free and far from long overflow —
+            # uniqueness is load-bearing (sparse order_no assignment and the
+            # abs(order_no) reclaim re-sequencing both assume it).
             accepted = accepted.withColumn(
-                "_arrival", F.col("_parent_rank").cast("long") * 65536 + F.col("_pos")
+                "_arrival",
+                F.shiftleft(F.col("_parent_rank").cast("long"), 32) + F.col("_pos"),
             ).drop("_parent_rank", "_pos", "robots_txt")
             budget = self._remaining_budget(frontier)
             if opts.limit is not None:

@@ -115,14 +115,23 @@ def parse_sitemaps(
     against a fixture table; in production an HTTP-fetch stage).
 
     The driver loop runs once per nesting level (sitemap indexes are
-    shallow); each level's URL extraction is one distributed pass."""
+    shallow); each level's URL extraction is one distributed pass. Visited
+    dedup is a broadcast LEFT ANTI join against the seen frame — never an
+    ``isin`` literal list, which would inline a 10^5-sitemap index into the
+    expression tree."""
+    spark = contents.sparkSession
     seen: set[str] = set()
     out: DataFrame | None = None
     frontier = contents
+
+    def _seen_df() -> DataFrame:
+        return spark.createDataFrame([(u,) for u in sorted(seen)], f"{url_col} string")
+
     for _ in range(max_depth + 1):
         if frontier is None:
             break
-        frontier = frontier.filter(~F.col(url_col).isin(*seen) if seen else F.lit(True))
+        if seen:
+            frontier = frontier.join(F.broadcast(_seen_df()), url_col, "left_anti")
         rows = frontier.select(url_col).distinct().collect()
         batch = [r[url_col] for r in rows]
         if not batch:
@@ -135,8 +144,10 @@ def parse_sitemaps(
             parse_sitemap_txt(txt_part, text_col=body_col, origin_col=url_col)
         )
         out = level_urls if out is None else out.unionByName(level_urls)
-        children = parse_sitemap_index(xml_part, xml_col=body_col).filter(
-            ~F.col("sitemap_url").isin(*seen)
+        children = parse_sitemap_index(xml_part, xml_col=body_col).join(
+            F.broadcast(_seen_df().withColumnRenamed(url_col, "sitemap_url")),
+            "sitemap_url",
+            "left_anti",
         )
         if children.isEmpty():
             break

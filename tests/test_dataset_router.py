@@ -52,6 +52,38 @@ def test_router_dispatch(spark):
     assert got["list"] == [200]
 
 
+def test_router_null_label_goes_to_default(spark):
+    """Reference Router: a request with no userData.label runs the default
+    handler — null labels must not vanish into NULL-false predicates."""
+    df = spark.createDataFrame([(None, 1), ("detail", 2)], "label string, x long")
+    out = route_by_label(
+        df,
+        {"detail": lambda d: d.withColumn("x", F.col("x") * 10)},
+        default_handler=lambda d: d.withColumn("x", F.lit(-1).cast("long")),
+    )
+    got = {r["label"]: r["x"] for r in out.collect()}
+    assert got == {"detail": 20, None: -1}
+
+
+def test_router_null_label_raises_without_default(spark):
+    df = spark.createDataFrame([(None, 1)], "label string, x long")
+    with pytest.raises(ValueError, match="no route"):
+        route_by_label(df, {"detail": lambda d: d})
+
+
+def test_dataset_push_seq_deterministic_without_order(spark, tmp_store_dir):
+    """Default push_seq must be stable across identical runs (never
+    monotonically_increasing_id, which depends on partition layout)."""
+    rows = [(i, f"u{i}") for i in range(20)]
+
+    def run(name):
+        ds = Dataset(spark, os.path.join(tmp_store_dir, name))
+        ds.push_data(spark.createDataFrame(rows, "a long, url string").repartition(7))
+        return [(r["a"], r["push_seq"]) for r in ds.read().orderBy("push_seq").collect()]
+
+    assert run("d1") == run("d2")
+
+
 def test_router_unrouted_raises_without_default(spark):
     df = spark.createDataFrame([("unknown", 1)], "label string, x long")
     with pytest.raises(ValueError, match="no route"):
