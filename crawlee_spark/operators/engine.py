@@ -39,6 +39,7 @@ from crawlee_spark.functions.html_text import extract_links_udf, html_to_text_ud
 from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
 from crawlee_spark.operators.frontier import (
     FRONTIER_SCHEMA,
+    STATE_BEFORE_NAV,
     STATE_DONE,
     STATE_SKIPPED,
     STATE_ERROR,
@@ -56,6 +57,18 @@ SUPPORTED_MIME = (  # http-crawler.ts:65-66
     "application/xml",
     "application/json",
 )
+
+
+def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+    """Broadcast-hint a dimension frame only when it is provably small.
+
+    An unconditional ``F.broadcast`` on the robots table is a scale-killer:
+    at millions of crawled hosts the dim no longer fits executor memory and
+    the broadcast build OOMs. One count (cached by the caller via the
+    returned frame's reuse) decides; above the cap the join falls back to a
+    shuffle join on the join key, which AQE sizes at runtime."""
+    n = df.limit(max_rows + 1).count()
+    return F.broadcast(df) if n <= max_rows else df
 
 
 @dataclass
@@ -77,12 +90,19 @@ class CrawlEngine:
     policy: PolitenessPolicy = field(default_factory=PolitenessPolicy)
     options: CrawlOptions = field(default_factory=CrawlOptions)
     session_policy: "SessionPolicy | None" = None  # enable the session pool (C6)
+    robots_broadcast_max_rows: int = 1_000_000  # above this: shuffle join
 
     def __post_init__(self):
         self.results_dir = os.path.join(self.store.root, "results")
         self.outcomes_dir = os.path.join(self.store.root, "outcomes")
         self.skipped_dir = os.path.join(self.store.root, "skipped")
         self.sessions_dir = os.path.join(self.store.root, "sessions")
+        # size the robots dim ONCE: broadcast only when provably small
+        self._robots = (
+            maybe_broadcast(self.robots, self.robots_broadcast_max_rows)
+            if self.robots is not None
+            else None
+        )
         cols = self.pages.columns
         pages = self.pages
         if "status_code" not in cols:
@@ -137,22 +157,15 @@ class CrawlEngine:
         updated.write.mode("overwrite").parquet(self.sessions_dir)
 
     # -- budget (F6: basic-crawler.ts:1199-1210) ------------------------------
-    def _remaining_budget(self, frontier: DataFrame) -> int | None:
+    def _remaining_budget(self) -> int | None:
+        """O(1): every request ever enqueued (handled or pending) counts
+        against the cap, so remaining = cap - total_requests — a manifest
+        read, never a frontier aggregate (the old version ran a full-table
+        job per round whenever a budget was set)."""
         cap = self.options.max_requests_per_crawl
         if cap is None:
             return None
-        counts = frontier.agg(
-            F.count("*").alias("total"),
-            F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
-        ).collect()[0]
-        handled = int(counts["handled"] or 0)
-        pending = int((counts["total"] or 0)) - handled
-        return max(0, cap - handled - pending)
-
-    def _handled_count(self, frontier: DataFrame) -> int:
-        return frontier.filter(F.col("handled_at").isNotNull()).limit(
-            (self.options.max_requests_per_crawl or 0) + 1
-        ).count() if self.options.max_requests_per_crawl else -1
+        return max(0, cap - self.store._manifest["total_requests"])
 
     # -- seeding ---------------------------------------------------------------
     def add_seeds(self, seeds: DataFrame, forefront: bool = False) -> None:
@@ -165,13 +178,12 @@ class CrawlEngine:
             from crawlee_spark.functions.robots import robots_allowed_udf
 
             shaped = (
-                shaped.join(F.broadcast(self.robots), "host", "left")
+                shaped.join(self._robots, "host", "left")
                 .withColumn("_allowed", robots_allowed_udf("url", "robots_txt"))
                 .filter(F.col("_allowed"))
                 .drop("_allowed", "robots_txt")
             )
-        budget = self._remaining_budget(self.store.read())
-        self.store.add_requests(shaped, forefront=forefront, max_new=budget)
+        self.store.add_requests(shaped, forefront=forefront, max_new=self._remaining_budget())
 
     # -- one round --------------------------------------------------------------
     def run_round(self) -> dict:
@@ -181,7 +193,8 @@ class CrawlEngine:
 
         claimed = claim_round(frontier, round_id, self.policy)
         if self.options.max_requests_per_crawl is not None:
-            handled = frontier.filter(F.col("handled_at").isNotNull()).count()
+            # O(1) manifest counter — not a frontier aggregate per round
+            handled = self.store._manifest["handled_total"]
             room = max(0, self.options.max_requests_per_crawl - handled)
             claimed = claimed.orderBy("order_no").limit(room)
         # C6: rotate a session onto each claimed request (hash rotation over
@@ -197,6 +210,27 @@ class CrawlEngine:
         if n_claimed == 0:
             return {"round": round_id, "claimed": 0, "done": True}
 
+        # ---- O5 lease stamp: commit the claimed set as a mid-round delta
+        # (lease_until = this round, state BEFORE_NAV) — the live analog of
+        # listAndLockHead (request-queue.ts:228-298). A second writer at the
+        # same round sees the lease as unexpired and cannot re-claim; a crash
+        # after this commit resumes at round_id+1 where the lease has expired
+        # by round-number comparison and the rows are re-claimed — no unlock
+        # protocol. This is also the round-start commit (the round counter
+        # advances here, the outcome delta below completes the round).
+        # Only with merge-on-read: a full snapshot rewrite just to stamp
+        # leases would be the 2 TB-per-round pattern this design removes.
+        round_committed = False
+        if self.store.merge_on_read:
+            leased = (
+                claimed.withColumn("lease_until", F.lit(round_id).cast("long"))
+                .withColumn("state", F.lit(STATE_BEFORE_NAV))
+                .withColumn("round_id", F.lit(round_id))
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+            self.store.commit_delta(leased, round_increment=True)
+            round_committed = True
+
         # ---- fetch = join against pages (left: missing page ⇒ fetch error)
         fetched = claimed.join(
             self._pages, claimed["url"] == self._pages["page_url"], "left"
@@ -207,7 +241,7 @@ class CrawlEngine:
             from crawlee_spark.functions.robots import robots_allowed_udf
 
             fetched = (
-                fetched.join(F.broadcast(self.robots), "host", "left")
+                fetched.join(self._robots, "host", "left")
                 .withColumn("_robots_ok", robots_allowed_udf("url", "robots_txt"))
                 .drop("robots_txt")
             )
@@ -309,7 +343,7 @@ class CrawlEngine:
         if n_links:
             if self.robots is not None:
                 links = links.join(
-                    F.broadcast(self.robots.withColumnRenamed("host", "_rhost")),
+                    self._robots.withColumnRenamed("host", "_rhost"),
                     F.lower(F.try_parse_url("url", F.lit("HOST"))) == F.col("_rhost"),
                     "left",
                 ).drop("_rhost")
@@ -332,7 +366,7 @@ class CrawlEngine:
                 "_arrival",
                 F.shiftleft(F.col("_parent_rank").cast("long"), 32) + F.col("_pos"),
             ).drop("_parent_rank", "_pos", "robots_txt")
-            budget = self._remaining_budget(frontier)
+            budget = self._remaining_budget()
             if opts.limit is not None:
                 budget = opts.limit if budget is None else min(budget, opts.limit)
             shaped = candidates_to_requests(
@@ -367,6 +401,21 @@ class CrawlEngine:
         if self.session_policy is not None:
             self._update_sessions(attempt_rows.select("session_id", "outcome"), round_id)
 
+        # ---- O(1) counter maintenance: one O(claimed) aggregate over the
+        # pinned classified set updates the manifest's handled/failed totals,
+        # committed atomically with the outcome delta below. Monitoring and
+        # budgets read these counters instead of scanning the frontier.
+        cnts = {
+            r["_outcome"]: r["n"]
+            for r in classified.groupBy("_outcome").agg(F.count("*").alias("n")).collect()
+        }
+        handled_inc = sum(cnts.get(o, 0) for o in ("success", "skip_redirect", "fail", "skip_robots"))
+        failed_inc = sum(cnts.get(o, 0) for o in ("fail", "skip_robots"))
+        counter_extra = {
+            "handled_total": self.store._manifest["handled_total"] + handled_inc,
+            "failed_total": self.store._manifest["failed_total"] + failed_inc,
+        }
+
         # ---- MERGE outcomes back into the frontier + append fresh links.
         # The touched set is just the claimed rows' new versions + fresh rows;
         # with merge-on-read that's ALL we write (O(claimed+fresh) per round);
@@ -375,18 +424,23 @@ class CrawlEngine:
         updated = self._outcome_rows(classified, round_id)
         delta = updated if fresh_rows is None else updated.unionByName(fresh_rows)
         if self.store.merge_on_read:
-            self.store.commit_delta(delta, round_increment=True)
+            self.store.commit_delta(
+                delta, round_increment=not round_committed, extra=counter_extra
+            )
         else:
             untouched = frontier.join(
                 classified.select("request_id"), "request_id", "left_anti"
             )
-            self.store.commit(untouched.unionByName(delta), round_increment=True)
+            self.store.commit(
+                untouched.unionByName(delta),
+                round_increment=not round_committed,
+                extra=counter_extra,
+            )
 
-        n_success = extracted.count()
         return {
             "round": round_id,
             "claimed": n_claimed,
-            "succeeded": n_success,
+            "succeeded": cnts.get("success", 0),
             "links_found": n_links,
             "enqueued": new_enqueued,
             "done": False,

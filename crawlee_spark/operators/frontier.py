@@ -157,7 +157,13 @@ class FrontierStore:
     root: str
     num_partitions: int = 32
     bloom_buckets: int | None = None  # enable D7 prefilter with this many buckets
-    merge_on_read: bool = False  # delta commits + compaction (Iceberg MOR analog)
+    # Merge-on-read is the DEFAULT commit path: each round writes only the
+    # rows it touched (O(claimed+fresh)) and reads resolve last-writer-wins;
+    # the full-snapshot commit() remains as the compaction mechanism. At the
+    # design point (10^10-row frontier) a full rewrite per round is ~2 TB of
+    # writes for a few hundred MB of change — merge_on_read=False is only for
+    # tiny tables and the equivalence test.
+    merge_on_read: bool = True
     compact_every: int = 8  # deltas per base rewrite
     _manifest: dict = field(default_factory=dict, repr=False)
 
@@ -170,6 +176,8 @@ class FrontierStore:
             with open(path) as f:
                 self._manifest = json.load(f)
             self._manifest.setdefault("deltas", [])
+            self._manifest.setdefault("handled_total", 0)
+            self._manifest.setdefault("failed_total", 0)
         else:
             self._manifest = {
                 "snapshot": -1,
@@ -277,23 +285,30 @@ class FrontierStore:
             self._manifest["round"] += 1
         if extra:
             self._manifest.update(extra)
-        # per-partition lineage: rows + handled counts per written file, so
-        # every snapshot records which partitions this round touched and how
-        # (the Iceberg analog reads this from the manifest's data-file stats)
+        # per-partition lineage: rows + handled/failed counts per written
+        # file, so every snapshot records which partitions this round touched
+        # and how (the Iceberg analog reads this from data-file stats)
         lineage = [
             {
                 "file": os.path.basename(r["file"]),
                 "rows": r["rows"],
                 "handled": int(r["handled"] or 0),
+                "failed": int(r["failed"] or 0),
             }
             for r in self.spark.read.parquet(out_dir)
             .groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.count("*").alias("rows"),
                 F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
+                F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("failed"),
             )
             .collect()
         ]
+        # a full snapshot is the whole table: resync the O(1) monitoring
+        # counters from its lineage (heals any drift from out-of-band deltas)
+        self._manifest["total_requests"] = sum(p["rows"] for p in lineage)
+        self._manifest["handled_total"] = sum(p["handled"] for p in lineage)
+        self._manifest["failed_total"] = sum(p["failed"] for p in lineage)
         self._manifest["history"].append(
             {
                 "snapshot": snap,
@@ -490,30 +505,38 @@ class FrontierStore:
         return new_frontier
 
     # -- queue metadata (aggregate view, request-queue.ts:596-610) ------------
-    def info(self) -> dict:
-        row = (
-            self.read(columns=["handled_at"])
-            .agg(
-                F.count("*").alias("total"),
-                F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
-                F.sum(F.when(F.col("handled_at").isNull(), 1).otherwise(0)).alias("pending"),
+    def info(self, *, exact: bool = False) -> dict:
+        """O(1) queue counters from the manifest — no frontier scan.
+
+        ``total_requests`` is maintained by ``prepare_fresh`` (every enqueue
+        path), ``handled_total``/``failed_total`` by the engine's per-round
+        commit extras, and all three are resynced from data-file lineage at
+        every full-snapshot commit (compaction). At a 10^10-row frontier the
+        old aggregate-the-table version was an O(frontier) job per
+        monitoring call. ``exact=True`` recounts from data (tests/debug)."""
+        if exact:
+            row = (
+                self.read(columns=["handled_at"])
+                .agg(
+                    F.count("*").alias("total"),
+                    F.sum(F.when(F.col("handled_at").isNotNull(), 1).otherwise(0)).alias("handled"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
+            total, handled = int(row["total"] or 0), int(row["handled"] or 0)
+        else:
+            total = self._manifest["total_requests"]
+            handled = self._manifest["handled_total"]
         return {
-            "totalRequestCount": row["total"] or 0,
-            "handledRequestCount": int(row["handled"] or 0),
-            "pendingRequestCount": int(row["pending"] or 0),
+            "totalRequestCount": total,
+            "handledRequestCount": handled,
+            "pendingRequestCount": total - handled,
         }
 
     def is_finished(self) -> bool:
-        """O10: no pending, eligible rows remain (leases count as in-progress
-        only within the round that holds them — between rounds a lease from a
-        crashed round has expired by round-number comparison)."""
-        pending = (
-            self.read(columns=["handled_at"])
-            .filter(F.col("handled_at").isNull())
-            .limit(1)
-            .count()
-        )
-        return pending == 0
+        """O10: no pending rows remain — O(1) from the manifest counters
+        (leases count as in-progress only within the round that holds them —
+        between rounds a lease from a crashed round has expired by
+        round-number comparison)."""
+        info = self.info()
+        return info["pendingRequestCount"] == 0

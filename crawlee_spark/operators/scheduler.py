@@ -118,21 +118,7 @@ def claim_round(
     )
     return ranked.orderBy("order_no").limit(policy.max_concurrency).drop("_rank")
 
-
-def stamp_lease(frontier: DataFrame, claimed_ids: DataFrame, round_id: int) -> DataFrame:
-    """MERGE-like lease stamp: claimed rows get lease_until=round_id,
-    state=BEFORE_NAV. ``claimed_ids`` must have a ``request_id`` column."""
-    marks = claimed_ids.select("request_id").withColumn("_claimed", F.lit(True))
-    return (
-        frontier.join(marks, "request_id", "left")
-        .withColumn(
-            "lease_until",
-            F.when(F.col("_claimed"), F.lit(round_id).cast("long")).otherwise(F.col("lease_until")),
-        )
-        .withColumn(
-            "state",
-            F.when(F.col("_claimed"), F.lit(1)).otherwise(F.col("state")),
-        )
-        .withColumn("round_id", F.when(F.col("_claimed"), F.lit(round_id)).otherwise(F.col("round_id")))
-        .drop("_claimed")
-    )
+# Lease stamping (O5 listAndLockHead) lives in the engine: the claimed set is
+# committed as a mid-round merge-on-read delta with lease_until = round_id and
+# state BEFORE_NAV (engine.run_round) — an O(claimed) write, never the
+# frontier-wide join a standalone MERGE would need.

@@ -68,6 +68,64 @@ def test_mor_compaction(spark, tmp_store_dir):
     assert after == before  # same key set survives compaction
 
 
+def test_mor_is_default(spark, tmp_store_dir):
+    """The scale-correct path is the default: a plain FrontierStore commits
+    deltas, not full snapshots (VERDICT r1 item 2)."""
+    assert FrontierStore(spark, tmp_store_dir, num_partitions=2).merge_on_read
+
+
+def test_lease_delta_committed_mid_round(spark, tmp_store_dir):
+    """O5: the claimed set is committed as a mid-round delta with
+    lease_until = round and state BEFORE_NAV, before any outcome exists —
+    the live analog of listAndLockHead's lock (request-queue.ts:228-298)."""
+    from crawlee_spark.operators.frontier import STATE_BEFORE_NAV
+
+    store, engine = crawl(spark, tmp_store_dir, mor=True, rounds=1)
+    # delta 0 is the round-1 lease stamp; delta 1 the outcomes
+    lease = spark.read.parquet(store._delta_dir(0))
+    rows = lease.collect()
+    assert rows and all(r["lease_until"] == 1 for r in rows)
+    assert all(r["state"] == STATE_BEFORE_NAV for r in rows)
+    # outcomes released every lease (no in-flight rows after the round)
+    assert store.read().filter(F.col("lease_until").isNotNull()).count() == 0
+
+
+def test_lease_blocks_same_round_reclaim(spark, tmp_store_dir):
+    """A second claimer at the SAME round must not re-claim leased rows;
+    the NEXT round sees the (crashed) lease as expired and re-claims."""
+    from crawlee_spark.operators.scheduler import eligible_requests
+
+    store, engine = crawl(spark, tmp_store_dir, mor=True, rounds=1)
+    leased_only = spark.read.parquet(store._delta_dir(0))
+    assert eligible_requests(leased_only, round_id=1).count() == 0
+    assert eligible_requests(leased_only, round_id=2).count() == leased_only.count()
+
+
+def test_counters_match_exact_recount(spark, tmp_store_dir):
+    """O(1) manifest counters must agree with a full-table recount after a
+    multi-round crawl (handled via commit extras, total via prepare_fresh,
+    both resynced at compaction)."""
+    store, engine = crawl(spark, tmp_store_dir, mor=True, rounds=3)
+    assert store.info() == store.info(exact=True)
+    failed_exact = store.read().filter(F.col("failed")).count()
+    assert store._manifest["failed_total"] == failed_exact
+
+
+def test_budget_needs_no_frontier_scan(spark, tmp_store_dir):
+    """_remaining_budget is a manifest read — pin that it never launches a
+    frontier job (VERDICT r1 item 3)."""
+    store, engine = crawl(spark, tmp_store_dir, mor=True, rounds=1)
+    engine.options.max_requests_per_crawl = 100
+    real_read = store.read
+    store.read = lambda *a, **k: (_ for _ in ()).throw(AssertionError("frontier scan"))
+    try:
+        assert engine._remaining_budget() == max(
+            0, 100 - store._manifest["total_requests"]
+        )
+    finally:
+        store.read = real_read
+
+
 def test_mor_resume_with_outstanding_deltas(spark, tmp_store_dir):
     store, _ = crawl(spark, tmp_store_dir, mor=True, rounds=2)
     expect = snapshot_of(store)

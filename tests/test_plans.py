@@ -69,6 +69,21 @@ def test_robots_join_broadcasts(spark, store):
     assert "BroadcastHashJoin" in plan
 
 
+def test_robots_join_strategy_switches_with_size(spark, store):
+    """maybe_broadcast: a small robots dim broadcasts; one above the cap
+    falls back to a shuffle join (no broadcast build of an unbounded dim)."""
+    from crawlee_spark.operators.engine import maybe_broadcast
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.com", "User-agent: *\n") for i in range(10)],
+        "host string, robots_txt string",
+    )
+    small = store.read().join(maybe_broadcast(robots, max_rows=100), "host", "left")
+    assert "BroadcastHashJoin" in explain_str(small, "simple")
+    big = store.read().join(maybe_broadcast(robots, max_rows=5), "host", "left")
+    assert "BroadcastHashJoin" not in explain_str(big, "simple")
+
+
 def test_anti_join_is_hash_not_cartesian(spark, store):
     cand = spark.createDataFrame([(f"rid{i}",) for i in range(10)], "request_id string")
     anti = cand.join(store.read().select("request_id"), "request_id", "left_anti")
