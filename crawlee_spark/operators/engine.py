@@ -369,9 +369,13 @@ class CrawlEngine:
             budget = self._remaining_budget()
             if opts.limit is not None:
                 budget = opts.limit if budget is None else min(budget, opts.limit)
+            carry = [
+                c for c in ("label", "user_data", "method", "payload")
+                if c in accepted.columns  # F3 per-pattern overrides
+            ]
             shaped = candidates_to_requests(
                 accepted.select(
-                    "url", "crawl_depth", "_arrival",
+                    "url", "crawl_depth", "_arrival", *carry,
                     F.lit(opts.strategy).alias("enqueue_strategy"),  # recorded for F2
                 ),
                 forefront=False,

@@ -39,17 +39,21 @@ from crawlee_spark.functions.robots import robots_allowed_udf
 HTTP_SCHEMES = ("http", "https")
 
 
-def glob_to_regex(glob: str, nocase: bool = True) -> str:
-    """Compile a minimatch-style URL glob to a Java-regex string.
-
-    Supports ``**`` (any chars incl. ``/``), ``*`` (any chars except ``/``),
-    ``?`` (one char except ``/``), ``{a,b}`` alternation — the subset the
-    reference's enqueueLinks glob usage exercises
-    (enqueue_links.test.ts:93-576)."""
+def _glob_body(glob: str) -> str:
     out = []
     i = 0
     while i < len(glob):
         ch = glob[i]
+        # minimatch extglobs ?(a|b) *(a|b) +(a|b) @(a|b): quantified
+        # alternation (enqueue_links.test.ts uses '?(http|https)://...')
+        if ch in "?*+@" and i + 1 < len(glob) and glob[i + 1] == "(":
+            j = glob.find(")", i + 2)
+            if j > i:
+                alts = glob[i + 2 : j].split("|")
+                quant = {"?": "?", "*": "*", "+": "+", "@": ""}[ch]
+                out.append("(" + "|".join(_glob_body(a) for a in alts) + ")" + quant)
+                i = j + 1
+                continue
         if ch == "*":
             if i + 1 < len(glob) and glob[i + 1] == "*":
                 out.append(".*")
@@ -69,19 +73,94 @@ def glob_to_regex(glob: str, nocase: bool = True) -> str:
         else:
             out.append(re.escape(ch))
         i += 1
-    body = "".join(out)
-    return ("(?i)" if nocase else "") + "^" + body + "$"
+    return "".join(out)
+
+
+def glob_to_regex(glob: str, nocase: bool = True) -> str:
+    """Compile a minimatch-style URL glob to a Java-regex string.
+
+    Supports ``**`` (any chars incl. ``/``), ``*`` (any chars except ``/``),
+    ``?`` (one char except ``/``), ``{a,b}`` alternation, and the
+    ``?( )/*( )/+( )/@( )`` extglob alternations — the subset the reference's
+    enqueueLinks glob usage exercises (enqueue_links.test.ts:93-686)."""
+    return ("(?i)" if nocase else "") + "^" + _glob_body(glob) + "$"
+
+
+def purl_to_regex(purl: str) -> str:
+    """Pseudo-URL → Java-regex string (the public @apify/pseudo_url
+    ``purlToRegExp`` contract, used by enqueueLinks' deprecated ``pseudoUrls``
+    option, shared.ts:96-110): characters inside top-level ``[...]`` sections
+    are raw regex, everything outside is matched literally (escaped),
+    anchored ``^...$`` and case-insensitive."""
+    trimmed = purl.strip()
+    if not trimmed:
+        raise ValueError("Cannot parse PURL: it must be a non-empty string")
+    out = []
+    open_brackets = 0
+    for ch in trimmed:
+        if ch == "[":
+            open_brackets += 1
+            if open_brackets == 1:
+                continue  # top-level opener: start of a raw-regex section
+        elif ch == "]" and open_brackets > 0:
+            open_brackets -= 1
+            if open_brackets == 0:
+                continue  # top-level closer
+        if open_brackets > 0:
+            out.append(ch)
+        else:
+            out.append(re.escape(ch))
+    return "(?i)^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class UrlPattern:
+    """One enqueueLinks pattern object: ``{glob|regexp|purl, ...overrides}``
+    (shared.ts:24-48 GlobObject/RegExpObject/PseudoUrlObject).
+
+    Exactly one of ``glob``/``regexp``/``purl`` must be set. The override
+    fields, when not None, replace the matched request's own values — the
+    reference spreads ``{...opts, ...requestRegExpOptions}`` so pattern
+    options win (shared.ts:190-205)."""
+
+    glob: str | None = None
+    regexp: str | None = None
+    purl: str | None = None
+    label: str | None = None
+    user_data: str | None = None  # JSON string (userData column convention)
+    method: str | None = None
+    payload: str | None = None
+
+    def to_regex(self) -> str:
+        given = [x for x in (self.glob, self.regexp, self.purl) if x is not None]
+        if len(given) != 1:
+            raise ValueError("UrlPattern needs exactly one of glob/regexp/purl")
+        if self.glob is not None:
+            return glob_to_regex(self.glob)
+        if self.purl is not None:
+            return purl_to_regex(self.purl)
+        return self.regexp
 
 
 @dataclass(frozen=True)
 class EnqueueOptions:
-    """Mirror of enqueueLinks options that gate candidates."""
+    """Mirror of enqueueLinks options that gate candidates.
+
+    ``patterns`` carries the object form (``{glob|regexp|purl, label?,
+    userData?, method?, payload?}``): ordered, include-gating like
+    globs/regexps, and the FIRST matching pattern's overrides are applied to
+    the request (createRequests, shared.ts:169-212). Plain ``globs`` and
+    ``regexps`` are the string form; when any include pattern exists (either
+    form) a URL must match at least one. Match order for overrides follows
+    the reference's urlPatternObjects assembly: pseudoUrls → globs → regexps
+    — here simply the order of ``patterns``."""
 
     strategy: str = "same-hostname"  # default: enqueue_links.ts:322-324
     globs: tuple[str, ...] = ()
     exclude_globs: tuple[str, ...] = ()
     regexps: tuple[str, ...] = ()
     exclude_regexps: tuple[str, ...] = ()
+    patterns: tuple[UrlPattern, ...] = ()
     max_crawl_depth: int | None = None
     limit: int | None = None
 
@@ -159,9 +238,12 @@ def gate_candidates(
     checks.append(("filters", scheme_col(url).isin(*HTTP_SCHEMES) & host_col(url).isNotNull()))
     checks.append(("filters", strategy_predicate(options.strategy, url, origin)))
 
-    if options.globs or options.regexps:
+    pattern_matches = [url.rlike(p.to_regex()) for p in options.patterns]
+    if options.globs or options.regexps or options.patterns:
         pats = [glob_to_regex(g) for g in options.globs] + list(options.regexps)
         inc = F.lit(False)
+        for m in pattern_matches:
+            inc = inc | m
         for p in pats:
             inc = inc | url.rlike(p)
         checks.append(("filters", inc))
@@ -183,6 +265,25 @@ def gate_candidates(
 
     tagged = links.withColumn("_skip_reason", reason)
     accepted = tagged.filter(F.col("_skip_reason").isNull()).drop("_skip_reason")
+    # per-pattern requestOptions: the FIRST matching pattern's non-null
+    # overrides replace the candidate's values (shared.ts:190-205) — a
+    # when-chain in declaration order, all JVM-side
+    if options.patterns:
+        for field_name, col_name in (
+            ("label", "label"),
+            ("user_data", "user_data"),
+            ("method", "method"),
+            ("payload", "payload"),
+        ):
+            existing = (
+                F.col(col_name) if col_name in accepted.columns else F.lit(None).cast("string")
+            )
+            expr = None
+            for pat, m in zip(options.patterns, pattern_matches):
+                v = getattr(pat, field_name)
+                val = F.lit(v) if v is not None else existing
+                expr = F.when(m, val) if expr is None else expr.when(m, val)
+            accepted = accepted.withColumn(col_name, expr.otherwise(existing))
     if transform is not None:
         accepted = transform(accepted)
     skipped = (

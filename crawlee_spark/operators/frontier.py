@@ -138,7 +138,10 @@ def candidates_to_requests(
             "enqueue_strategy",
             F.col("enqueue_strategy") if "enqueue_strategy" in cols else F.lit(None).cast("string"),
         )
-        .withColumn("method", F.upper(F.col("method")) if "method" in cols else F.lit("GET"))
+        .withColumn(
+            "method",
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))) if "method" in cols else F.lit("GET"),
+        )
         .withColumn("payload", F.col("payload") if "payload" in cols else F.lit(None).cast("string"))
     )
     return out

@@ -246,3 +246,48 @@ def test_redirect_strategy_recheck(spark, tmp_store_dir):
     # seeds have no recorded strategy → never redirect-skipped
     seed = store.read().filter("url = 'https://a.com/start'").collect()[0]
     assert seed["state"] != STATE_SKIPPED
+
+
+def test_enqueue_pattern_label_reaches_frontier(spark, tmp_store_dir):
+    """F3 object patterns: a discovered link matching a pattern is enqueued
+    with that pattern's label/userData (enqueue_links.test.ts:93-152)."""
+    from crawlee_spark.operators.enqueue import UrlPattern
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/start",
+                (
+                    '<html><body><a href="/detail/1">d</a>'
+                    '<a href="/list/2">l</a></body></html>'
+                ).encode(),
+            ),
+            ("https://a.com/detail/1", b"<p>d1</p>"),
+            ("https://a.com/list/2", b"<p>l2</p>"),
+        ],
+        "url string, html binary",
+    )
+    engine = build_engine(
+        spark,
+        tmp_store_dir,
+        pages,
+        options=CrawlOptions(
+            max_rounds=2,
+            enqueue=EnqueueOptions(
+                strategy="same-hostname",
+                patterns=(
+                    UrlPattern(glob="**/detail/**", label="DETAIL", user_data='{"kind":"d"}'),
+                    UrlPattern(glob="**/list/**", label="LIST"),
+                ),
+            ),
+        ),
+    )
+    engine.run(spark.createDataFrame([("https://a.com/start",)], "url string"))
+    rows = {r["url"]: r for r in engine.store.read().collect()}
+    assert rows["https://a.com/detail/1"]["label"] == "DETAIL"
+    assert rows["https://a.com/detail/1"]["user_data"] == '{"kind":"d"}'
+    assert rows["https://a.com/list/2"]["label"] == "LIST"
+    assert rows["https://a.com/list/2"]["user_data"] is None
+    # labels flow into the results dataset (Router input)
+    res = {r["url"]: r["label"] for r in engine.results().collect()}
+    assert res.get("https://a.com/detail/1") == "DETAIL"
