@@ -423,6 +423,40 @@ def q_social_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocked_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: RETRY_CSS_SELECTORS probe (blocked.ts:1-11) over synthetic pages —
+    doc_id%7: 0 cloudflare turnstile, 1 google sorry-page, 2 incapsula
+    iframe, 3 a decoy (right id, wrong iframe src), else clean."""
+    from crawlee_spark.functions.html_text import blocked_selectors_udf
+
+    d = _docs(spark, sf_dir)
+    html = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(
+                '<html><body><div id="turnstile-wrapper">'
+                '<iframe src="https://challenges.cloudflare.com/t"></iframe></div></body></html>'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.lit('<div id="infoDiv0"><a href="https://www.google.com/policies/terms/x">t</a></div>'),
+        )
+        .when(F.col("doc_id") % 7 == 2, F.lit('<iframe src="/_Incapsula_Resource?S=1"></iframe>'))
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.lit('<div id="turnstile-wrapper"><iframe src="https://example.com/ok"></iframe></div>'),
+        )
+        .otherwise(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
+    )
+    sels = blocked_selectors_udf(html)
+    return d.select(
+        "doc_id",
+        (F.size(sels) > 0).alias("is_blocked"),
+        F.try_element_at(sels, F.lit(1)).alias("matched_selector"),  # ANSI: empty array
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir, mutate=False)
     return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
@@ -639,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_handles": q_social_handles,
         "json_context": q_json_context,
         "session_pool": q_session_pool,
+        "blocked_probe": q_blocked_probe,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1039,6 +1074,16 @@ SELECT doc_id,
   '1(413)555-00' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS phone,
   'https://www.linkedin.com/in/user-' || doc_id || '/' AS linkedin,
   'https://twitter.com/u_' || doc_id AS twitter
+FROM documents
+""",
+        "blocked_probe": """
+SELECT doc_id,
+  CAST(doc_id % 7 AS INT) IN (0, 1, 2) AS is_blocked,
+  CASE CAST(doc_id % 7 AS INT)
+    WHEN 0 THEN '#turnstile-wrapper iframe[src^="https://challenges.cloudflare.com"]'
+    WHEN 1 THEN 'div#infoDiv0 a[href*="//www.google.com/policies/terms/"]'
+    WHEN 2 THEN 'iframe[src*="_Incapsula_Resource"]'
+  END AS matched_selector
 FROM documents
 """,
         "dedup_exact": f"""

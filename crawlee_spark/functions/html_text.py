@@ -35,7 +35,18 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+# E9 blocked-detection probe (packages/utils/src/internals/blocked.ts:1-11):
+# elements whose presence means the crawler is being challenged, checked by
+# HttpCrawler.isRequestBlocked (http-crawler.ts:600-614) on every HTML page.
+CLOUDFLARE_RETRY_CSS_SELECTORS = (
+    '#turnstile-wrapper iframe[src^="https://challenges.cloudflare.com"]',
+)
+RETRY_CSS_SELECTORS = CLOUDFLARE_RETRY_CSS_SELECTORS + (
+    'div#infoDiv0 a[href*="//www.google.com/policies/terms/"]',
+    'iframe[src*="_Incapsula_Resource"]',
+)
 
 SKIP_TAGS = {"script", "style", "canvas", "svg", "noscript"}
 BLOCK_TAGS = {
@@ -162,8 +173,10 @@ def html_to_text_py(html: str | None) -> str:
     """Byte-identical port target of cheerio.ts:44-87 (see module docstring)."""
     if not html:
         return ""
-    root = parse_html(html)
+    return _text_from_root(parse_html(html))
 
+
+def _text_from_root(root: _Node) -> str:
     # output accumulated as chunks; joined once at the end
     out: list[str] = []
 
@@ -251,10 +264,12 @@ def extract_links_py(html: str | None, base_url: str | None = "", selector: str 
     """
     if not html:
         return []
+    return _links_from_root(parse_html(html), base_url, selector)
+
+
+def _links_from_root(root: _Node, base_url: str | None = "", selector: str = "a") -> list[str]:
     base_url = base_url or ""
     tag = selector.split("[", 1)[0].strip() or "a"
-
-    root = parse_html(html)
 
     base_el = _find_first(root, "base")
     if base_el is not None:
@@ -279,6 +294,110 @@ def extract_links_py(html: str | None, base_url: str | None = "", selector: str 
         if resolved:
             urls.append(resolved)
     return urls
+
+
+# ---------------------------------------------------------------------------
+# E9: blocked-detection selector probe (mini CSS matcher)
+# ---------------------------------------------------------------------------
+
+# simple selector: tag?, #id?, [attr op "value"]* — the subset
+# RETRY_CSS_SELECTORS needs (ops: = ^= *=); descendant combinator = space
+_SIMPLE_SEL_RE = re.compile(
+    r"^(?P<tag>[a-zA-Z][a-zA-Z0-9]*)?"
+    r"(?:#(?P<id>[\w-]+))?"
+    r"(?P<attrs>(?:\[[\w-]+[*^$]?=\"[^\"]*\"\])*)$"
+)
+_ATTR_RE = re.compile(r"\[([\w-]+)([*^$]?=)\"([^\"]*)\"\]")
+
+
+def _parse_selector(sel: str) -> list[tuple]:
+    """Parse a descendant-combinator CSS selector into simple parts."""
+    parts = []
+    for token in sel.split():
+        m = _SIMPLE_SEL_RE.match(token)
+        if not m:
+            raise ValueError(f"unsupported selector: {token!r}")
+        attrs = _ATTR_RE.findall(m.group("attrs") or "")
+        parts.append((m.group("tag"), m.group("id"), attrs))
+    return parts
+
+
+def _match_simple(node: _Node, part: tuple) -> bool:
+    tag, id_, attrs = part
+    if node.is_text:
+        return False
+    if tag and node.tag != tag:
+        return False
+    if id_ and node.attrs.get("id") != id_:
+        return False
+    for name, op, val in attrs:
+        actual = node.attrs.get(name)
+        if actual is None:
+            return False
+        if op == "=" and actual != val:
+            return False
+        if op == "^=" and not actual.startswith(val):
+            return False
+        if op == "*=" and val not in actual:
+            return False
+        if op == "$=" and not actual.endswith(val):
+            return False
+    return True
+
+
+def _any_descendant_match(node: _Node, parts: list[tuple]) -> bool:
+    """True iff some element under ``node`` matches parts[0] and contains a
+    descendant chain matching the rest."""
+    head, rest = parts[0], parts[1:]
+    for child in node.children:
+        if child.is_text:
+            continue
+        if _match_simple(child, head) and (
+            not rest or _any_descendant_match(child, rest)
+        ):
+            return True
+        if _any_descendant_match(child, parts):
+            return True
+    return False
+
+
+def matched_blocked_selectors(root: _Node) -> list[str]:
+    """RETRY_CSS_SELECTORS present in the DOM (isRequestBlocked's
+    ``foundSelectors``, http-crawler.ts:603-608)."""
+    return [s for s in RETRY_CSS_SELECTORS if _any_descendant_match(root, _parse_selector(s))]
+
+
+def blocked_selectors_py(html: str | None) -> list[str]:
+    if not html:
+        return []
+    return matched_blocked_selectors(parse_html(html))
+
+
+# ---------------------------------------------------------------------------
+# fused single-parse extraction: text + links + blocked probe (+ E6 charset)
+# ---------------------------------------------------------------------------
+
+EXTRACT_PAGE_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("blocked", ArrayType(StringType())),
+    ]
+)
+
+
+def extract_page_py(html: str | None, base_url: str | None) -> tuple:
+    """One DOM parse serving E2 (htmlToText), E1 (extractUrlsFromCheerio) and
+    E9 (blocked probe) — the engine's hot path parses each page exactly once
+    instead of once per concern."""
+    if not html:
+        return ("", [], [])
+    root = parse_html(html)
+    return (
+        _text_from_root(root),
+        _links_from_root(root, base_url),
+        matched_blocked_selectors(root),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -331,3 +450,22 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
         [extract_links_py(_as_str(h), b) for h, b in zip(html, base_url)],
         index=html.index,
     )
+
+
+@pandas_udf(ArrayType(StringType()))
+def blocked_selectors_udf(html: pd.Series) -> pd.Series:
+    """Vectorized RETRY_CSS_SELECTORS probe (E9)."""
+    return pd.Series([blocked_selectors_py(_as_str(h)) for h in html], index=html.index)
+
+
+@pandas_udf(EXTRACT_PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series, base_url: pd.Series, charset: pd.Series) -> pd.DataFrame:
+    """Fused single-parse extraction with per-row charset decode (E6):
+    struct(text, links, blocked). The charset comes from the Content-Type
+    header / forceResponseEncoding (http-crawler.ts:843-885); unknown
+    encodings fall back to utf-8 the way the reference iconv path does."""
+    rows = [
+        extract_page_py(_decode(h, c), b)
+        for h, b, c in zip(html, base_url, charset)
+    ]
+    return pd.DataFrame(rows, columns=["text", "links", "blocked"], index=html.index)

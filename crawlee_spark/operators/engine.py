@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crawlee_spark.functions.html_text import extract_links_udf, html_to_text_udf
+from crawlee_spark.functions.html_text import extract_page_udf
 from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
 from crawlee_spark.operators.frontier import (
     FRONTIER_SCHEMA,
@@ -79,6 +79,9 @@ class CrawlOptions:
     max_crawl_depth: int | None = None  # F7
     enqueue: EnqueueOptions = field(default_factory=EnqueueOptions)
     max_rounds: int = 1000
+    # E6: override every response's charset (http-crawler.ts forceResponseEncoding);
+    # default: the Content-Type header's charset parameter, else utf-8
+    force_response_encoding: str | None = None
 
 
 @dataclass
@@ -111,6 +114,16 @@ class CrawlEngine:
             pages = pages.withColumn("content_type", F.lit("text/html"))
         if "loaded_url" not in cols:  # no-redirect source: final url = url
             pages = pages.withColumn("loaded_url", F.col("url"))
+        # E6: per-row charset — forceResponseEncoding ▸ header charset ▸ utf-8
+        if self.options.force_response_encoding:
+            pages = pages.withColumn("charset", F.lit(self.options.force_response_encoding))
+        elif "charset" not in cols:
+            from crawlee_spark.sources.urls import parse_content_type_cols
+
+            _, charset = parse_content_type_cols(
+                F.coalesce(F.col("content_type"), F.lit("")), F.col("url")
+            )
+            pages = pages.withColumn("charset", charset)
         self._pages = pages.withColumnRenamed("url", "page_url")
 
     # -- derived frames -------------------------------------------------------
@@ -290,7 +303,51 @@ class CrawlEngine:
             .when(F.col("html").isNull(), F.lit("Fetch failed: page not found in source"))
             .otherwise(F.concat(F.lit("Request failed with status "), F.col("status_code"))),
         )
-        classified = classified.localCheckpoint(eager=True)
+        # ---- fused single-parse extraction over preliminary successes.
+        # One DOM parse yields text (E2, charset-decoded per E6), links (E1,
+        # resolved against the redirect-final URL) and the RETRY_CSS_SELECTORS
+        # probe (E9): a 200 carrying a challenge page is reclassified as a
+        # session error exactly like a blocked status code
+        # (isRequestBlocked, http-crawler.ts:600-614 → SessionError path).
+        succ0 = classified.filter(F.col("_outcome") == "success")
+        rest = (
+            classified.filter(F.col("_outcome") != "success")
+            .withColumn("extracted_text", F.lit(None).cast("string"))
+            .withColumn("_links", F.lit(None).cast("array<string>"))
+            .withColumn("_blocked_sel", F.lit(None).cast("array<string>"))
+        )
+        ext = succ0.withColumn(
+            "_page",
+            extract_page_udf("html", F.coalesce(F.col("loaded_url"), F.col("url")), "charset"),
+        ).select(
+            "*",
+            F.col("_page.text").alias("extracted_text"),
+            F.col("_page.links").alias("_links"),
+            F.col("_page.blocked").alias("_blocked_sel"),
+        ).drop("_page")
+        is_blocked_page = F.size("_blocked_sel") > 0
+        ext = ext.withColumn(
+            "_outcome",
+            F.when(
+                is_blocked_page,
+                F.when(
+                    F.col("session_rotation_count") < self.options.max_session_rotations,
+                    F.lit("session_retry"),
+                ).otherwise(
+                    F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail"))
+                ),
+            ).otherwise(F.col("_outcome")),
+        ).withColumn(
+            "_error",
+            F.when(
+                is_blocked_page,
+                F.concat(
+                    F.lit("Antibot protection detected. Found selectors: "),
+                    F.array_join("_blocked_sel", ", "),
+                ),
+            ).otherwise(F.col("_error")),
+        )
+        classified = rest.unionByName(ext).localCheckpoint(eager=True)
 
         # redirect-skips go to the skipped side-output (reason 'redirect')
         (
@@ -300,12 +357,8 @@ class CrawlEngine:
             .parquet(self.skipped_dir)
         )
 
-        # ---- successes: extract text + links
-        succ = classified.filter(F.col("_outcome") == "success")
-        extracted = (
-            succ.withColumn("extracted_text", html_to_text_udf("html"))
-            .withColumn("_links", extract_links_udf("html", F.col("url")))
-        ).localCheckpoint(eager=True)
+        # successes (post-probe) already carry extracted text + links
+        extracted = classified.filter(F.col("_outcome") == "success")
 
         # results dataset append (S7)
         (

@@ -128,6 +128,28 @@ def with_lsh_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def lsh_bucket_guard(bucketed: DataFrame, max_bucket: int, bucket_col: str = "bucket") -> DataFrame:
+    """Hot-bucket guard (same pattern as dedup.py's minhash guard): drop
+    buckets larger than ``max_bucket`` so one boilerplate-heavy bucket can
+    never go quadratic — at nbits=4, 1/16 of a skewed corpus landing in one
+    bucket is O(n²) pairs without this. Dropped buckets trade recall for a
+    hard bound; inspect them with ``dropped_buckets``."""
+    sized = bucketed.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy(bucket_col))
+    )
+    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+
+
+def dropped_buckets(bucketed: DataFrame, max_bucket: int, bucket_col: str = "bucket") -> DataFrame:
+    """Report of buckets the guard dropped: (bucket, size). Emit/log this
+    next to any guarded run — silent truncation reads as full coverage."""
+    return (
+        bucketed.groupBy(bucket_col)
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket)
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -138,12 +160,15 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
 
     Same output shape as ``cosine_topk``. Recall < 1 by design; the join is
     (bucket ⋈ bucket) — at 100 TB this is the difference between a shuffle
-    join on a 2^nbits-way key and an unrunnable cross join."""
+    join on a 2^nbits-way key and an unrunnable cross join. Corpus-side
+    buckets above ``max_bucket`` are dropped (guarded fan-in: |q_bucket| ×
+    max_bucket bounds the scored pairs)."""
     q = with_lsh_buckets(
         queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
         vec_col="_qvec", dim=dim, nbits=nbits, out_col="bucket",
@@ -152,6 +177,7 @@ def lsh_ann_topk(
         corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")),
         vec_col="_cvec", dim=dim, nbits=nbits, out_col="bucket",
     )
+    c = lsh_bucket_guard(c, max_bucket)
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "_score", cosine_col("_qvec", "_cvec")
     )

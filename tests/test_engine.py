@@ -291,3 +291,64 @@ def test_enqueue_pattern_label_reaches_frontier(spark, tmp_store_dir):
     # labels flow into the results dataset (Router input)
     res = {r["url"]: r["label"] for r in engine.results().collect()}
     assert res.get("https://a.com/detail/1") == "DETAIL"
+
+
+def test_blocked_selector_page_rotates_session(spark, tmp_store_dir):
+    """E9: a 200 response whose body carries a challenge-page selector is a
+    session error (rotate, don't mark handled) — isRequestBlocked
+    (http-crawler.ts:600-614) + RETRY_CSS_SELECTORS (blocked.ts:6-11)."""
+    challenge = (
+        '<html><body><div id="turnstile-wrapper">'
+        '<iframe src="https://challenges.cloudflare.com/t"></iframe></div></body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://x.com/blocked", challenge, 200, "text/html")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(
+        spark, tmp_store_dir, pages,
+        options=CrawlOptions(max_rounds=4, max_session_rotations=2),
+    )
+    engine.run(spark.createDataFrame([("https://x.com/blocked",)], "url string"))
+    outcomes = engine.outcomes().orderBy("round_id").collect()
+    assert [o["outcome"] for o in outcomes][:2] == ["session_retry", "session_retry"]
+    assert "Antibot protection detected" in outcomes[0]["error_message"]
+    assert "challenges.cloudflare.com" in outcomes[0]["error_message"]
+    # never recorded as a success result
+    assert engine.results().count() == 0
+    row = engine.store.read().collect()[0]
+    assert row["session_rotation_count"] == 2
+
+
+def test_charset_wired_into_round(spark, tmp_store_dir):
+    """E6: a latin-1 page with a charset'd Content-Type extracts
+    byte-identically (http-crawler.ts:843-885 encoding path)."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://x.com/latin",
+                "<p>café crème</p>".encode("iso-8859-1"),
+                200,
+                "text/html; charset=ISO-8859-1",
+            )
+        ],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(spark, tmp_store_dir, pages, options=CrawlOptions(max_rounds=2))
+    engine.run(spark.createDataFrame([("https://x.com/latin",)], "url string"))
+    res = engine.results().collect()
+    assert len(res) == 1 and res[0]["text"] == "café crème"
+
+
+def test_force_response_encoding(spark, tmp_store_dir):
+    """forceResponseEncoding overrides the header charset."""
+    pages = spark.createDataFrame(
+        [("https://x.com/f", "<p>café</p>".encode("iso-8859-1"), 200, "text/html")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    engine = build_engine(
+        spark, tmp_store_dir, pages,
+        options=CrawlOptions(max_rounds=2, force_response_encoding="iso-8859-1"),
+    )
+    engine.run(spark.createDataFrame([("https://x.com/f",)], "url string"))
+    assert engine.results().collect()[0]["text"] == "café"

@@ -157,3 +157,66 @@ def test_charset_decode_udf(spark):
     assert rows[0] == "café straße"
     assert rows[1] == "café"
     assert rows[2] == "café"  # unknown charset falls back to utf-8
+
+
+# ---------------------------------------------------------------------------
+# E9: RETRY_CSS_SELECTORS probe (blocked.ts:1-11) + fused extraction
+# ---------------------------------------------------------------------------
+
+def test_blocked_selectors_probe():
+    from crawlee_spark.functions.html_text import RETRY_CSS_SELECTORS, blocked_selectors_py
+
+    cloudflare = (
+        '<html><body><div id="turnstile-wrapper">'
+        '<iframe src="https://challenges.cloudflare.com/x"></iframe></div></body></html>'
+    )
+    google = '<div id="infoDiv0"><p><a href="https://www.google.com/policies/terms/x">t</a></p></div>'
+    incapsula = '<iframe src="/_Incapsula_Resource?SWJIYLWA=1"></iframe>'
+    assert blocked_selectors_py(cloudflare) == [RETRY_CSS_SELECTORS[0]]
+    assert blocked_selectors_py(google) == [RETRY_CSS_SELECTORS[1]]
+    assert blocked_selectors_py(incapsula) == [RETRY_CSS_SELECTORS[2]]
+    # negatives: right structure, wrong attribute / not a descendant
+    assert blocked_selectors_py(
+        '<div id="turnstile-wrapper"><iframe src="https://example.com"></iframe></div>'
+    ) == []
+    assert blocked_selectors_py(
+        '<iframe src="https://challenges.cloudflare.com/x"></iframe>'
+    ) == []  # iframe not under #turnstile-wrapper
+    assert blocked_selectors_py("<p>plain page</p>") == []
+
+
+def test_extract_page_single_parse_equivalence():
+    """Fused extraction must agree byte-for-byte with the standalone walks."""
+    from crawlee_spark.functions.html_text import (
+        extract_links_py,
+        extract_page_py,
+        html_to_text_py,
+    )
+
+    html = (
+        '<html><head><base href="https://b.com/dir/"></head><body><h1>T</h1>'
+        '<p>a  b</p><a href="x">x</a><a href="https://e.com/y">y</a>'
+        "<pre>  keep\n me </pre></body></html>"
+    )
+    text, links, blocked = extract_page_py(html, "https://a.com/p")
+    assert text == html_to_text_py(html)
+    assert links == extract_links_py(html, "https://a.com/p")
+    assert blocked == []
+
+
+def test_extract_page_charset_decode(spark):
+    """E6: latin-1 bytes decode per the charset column, byte-identical text."""
+    from pyspark.sql import functions as F
+    from crawlee_spark.functions.html_text import extract_page_udf
+
+    latin = "<p>café</p>".encode("iso-8859-1")
+    df = spark.createDataFrame(
+        [(latin, "https://a.com/", "iso-8859-1"), (latin, "https://a.com/", "utf-8")],
+        "html binary, base string, charset string",
+    )
+    rows = df.select(
+        "charset", extract_page_udf("html", "base", "charset").alias("p")
+    ).collect()
+    got = {r["charset"]: r["p"]["text"] for r in rows}
+    assert got["iso-8859-1"] == "café"
+    assert got["utf-8"] != "café"  # mojibake without the charset wire-through
