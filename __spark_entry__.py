@@ -861,14 +861,54 @@ FROM ranked WHERE rk <= 5
         d, na, nb = _dot_sql(a, b), _dot_sql(a, a), _dot_sql(b, b)
         return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / sqrt(({na}) * ({nb})) END"
 
+    # IVF oracle with the deterministic k-means unrolled: init = vec_id<8,
+    # then TRAIN_ITERS Lloyd steps. Update sums are exact BIGINT over
+    # round(v·10⁶) and centroid components (sum/count)/10⁶ in double —
+    # bit-identical to kmeans_fit (similarity.py) by construction.
+    TRAIN_ITERS = 2
+    kmeans_ctes = [
+        "c AS (SELECT vec_id, embedding AS cv FROM embeddings)",
+        "cents0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8)",
+    ]
+    for t in range(1, TRAIN_ITERS + 1):
+        prev = f"cents{t - 1}"
+        kmeans_ctes.append(
+            f"""assign{t} AS (
+  SELECT vec_id, cv, cid AS cell FROM (
+    SELECT c.vec_id, c.cv, {prev}.cid,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY coalesce({cos_sql('cv', 'ce')}, -2.0) DESC, {prev}.cid ASC) AS rk
+    FROM c, {prev}
+  ) WHERE rk = 1
+)"""
+        )
+        kmeans_ctes.append(
+            f"""sums{t} AS (
+  SELECT cell, unnest(range(1, len(cv)+1)) AS i,
+         unnest(list_transform(cv, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT))) AS ve6
+  FROM assign{t}
+)"""
+        )
+        kmeans_ctes.append(
+            f"""cents{t} AS (
+  SELECT c0.cid, coalesce(u.ce, c0.ce::DOUBLE[]) AS ce
+  FROM cents0 c0 LEFT JOIN (
+    SELECT cid, list(comp ORDER BY i) AS ce FROM (
+      SELECT cell AS cid, i, (CAST(sum(ve6) AS DOUBLE) / count(*)) / 1000000 AS comp
+      FROM sums{t} GROUP BY cell, i
+    ) GROUP BY cid
+  ) u USING (cid)
+)"""
+        )
+    kmeans_body = ",\n".join(kmeans_ctes)
     ivf_sql = f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+WITH {kmeans_body},
+cents AS (SELECT cid, ce FROM cents{TRAIN_ITERS}),
 assign AS (
   SELECT vec_id, cv, cid AS ivf_cell FROM (
     SELECT c.vec_id, c.cv, cents.cid,
       row_number() OVER (PARTITION BY c.vec_id
-        ORDER BY ({cos_sql('cv', 'ce')}) DESC, cents.cid ASC) AS rk
+        ORDER BY coalesce({cos_sql('cv', 'ce')}, -2.0) DESC, cents.cid ASC) AS rk
     FROM c, cents
   ) WHERE rk = 1
 ),
@@ -877,7 +917,7 @@ qcells AS (
   SELECT qid, qe, cid FROM (
     SELECT q.qid, q.qe, cents.cid,
       row_number() OVER (PARTITION BY q.qid
-        ORDER BY ({cos_sql('qe', 'ce')}) DESC, cents.cid ASC) AS rk
+        ORDER BY coalesce({cos_sql('qe', 'ce')}, -2.0) DESC, cents.cid ASC) AS rk
     FROM q, cents
   ) WHERE rk <= 2
 ),

@@ -221,6 +221,60 @@ def _argmax_excluding(n: int, prefix: str, excluded: list):
     return best_idx
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    *,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means as DataFrame aggregations (no RNG, no
+    wall clock — reproducible in any engine, which is what lets the DuckDB
+    oracle recompute identical centroids):
+
+    - init: the first ``k`` vectors in ``id_col`` order (seedless);
+    - assign: argmax cosine against the current centroid literals, ties →
+      lowest centroid index (one codegen pass over the corpus);
+    - update: per-(cell, dim) sums of round(v·10⁶) as BIGINT — an
+      order-independent exact integer aggregation (a raw double sum would be
+      partition-order-nondeterministic and could never match the oracle
+      bit-for-bit) — then centroid = (sum/count)/10⁶ in double, computed on
+      the driver over k×dim rows. Empty cells keep their previous centroid.
+
+    Each iteration is one distributed pass + one tiny collect; at 100 TB the
+    same loop holds (k·dim driver state, map-side-combinable integer sums).
+    A k-means|| oversampled init would slot in as a different iteration-0."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(k).collect()
+    ]
+    src = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(iters):
+        assigned = with_centroid_scores(src, "_v", cents, "_ks").withColumn(
+            "_cell", _argmax_excluding(len(cents), "_ks", [])
+        )
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(
+                F.sum(F.round(F.col("_x").cast("double") * 1_000_000).cast("long")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple]] = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], {})[r["_i"]] = (int(r["_s"]), int(r["_n"]))
+        for c in range(len(cents)):
+            if c in by_cell:
+                cents[c] = [
+                    (by_cell[c][i][0] / by_cell[c][i][1]) / 1_000_000
+                    for i in range(len(cents[c]))
+                ]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -228,6 +282,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -235,18 +290,16 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe each query's ``nprobe`` nearest lists only.
 
-    Centroid "training" is deterministic: the first ``n_centroids`` corpus
-    vectors serve as the coarse quantizer (no RNG, no iteration — at real
-    scale a k-means|| fit would replace this one function). Same output
-    shape as ``cosine_topk``; recall < 1 by design, fan-in reduced by
-    ~n_centroids/nprobe. Compared to ``lsh_ann_topk`` this is the
-    partition-pruning flavor of ANN: the corpus is physically clusterable
-    by ``ivf_cell`` (partitionBy on write ⇒ Spark prunes non-probed cells
-    at scan time)."""
-    cents = [
-        list(r[vec_col])
-        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    The coarse quantizer is a deterministic k-means fit (``kmeans_fit``:
+    id-ordered init + ``train_iters`` Lloyd iterations over exact integer
+    sums). Same output shape as ``cosine_topk``; recall < 1 by design,
+    fan-in reduced by ~n_centroids/nprobe. Compared to ``lsh_ann_topk``
+    this is the partition-pruning flavor of ANN: the corpus is physically
+    clusterable by ``ivf_cell`` (partitionBy on write ⇒ Spark prunes
+    non-probed cells at scan time)."""
+    cents = kmeans_fit(
+        corpus, k=n_centroids, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
     c = with_centroid_scores(
         corpus.select(id_col, F.col(vec_col).alias("_cvec")), "_cvec", cents, "_cs"
     )
@@ -290,12 +343,16 @@ def embedding_neardup_pairs(
     dim: int,
     nbits: int = 4,
     threshold_e6: int = 950_000,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold (fixed-point ×10⁶),
-    candidate-generated inside LSH buckets.
+    candidate-generated inside LSH buckets; buckets above ``max_bucket`` are
+    dropped (the self-join is quadratic inside a bucket — one hot bucket of a
+    boilerplate-heavy corpus would otherwise dominate the whole job).
 
     Output: (id_a, id_b, score_e6)."""
     bucketed = with_lsh_buckets(df.select(id_col, vec_col), vec_col=vec_col, dim=dim, nbits=nbits)
+    bucketed = lsh_bucket_guard(bucketed, max_bucket)
     a = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

@@ -77,15 +77,91 @@ def test_ivf_topk(corpus, spark):
     from crawlee_spark.operators.similarity import ivf_topk
 
     q = corpus.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
-    # centroids = vecs 0,1,2; nprobe=1 → query 0 probes its own cell
-    rows = ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=1).orderBy("rank").collect()
+    # untrained quantizer (train_iters=0): centroids = vecs 0,1,2; nprobe=1 →
+    # query 0 probes its own cell, which holds exactly {0, 4} (the dup pair)
+    rows = (
+        ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=1, train_iters=0)
+        .orderBy("rank")
+        .collect()
+    )
     got = [r["vec_id"] for r in rows]
-    # cell of centroid 0 holds exactly {0, 4} (the duplicate pair)
     assert got == [0, 4]
     assert rows[0]["score_e6"] >= 999_999
-    # nprobe=3 probes every cell → equals exact brute force top-3
+    # nprobe=3 probes every cell → equals exact brute force top-3, trained or not
     from crawlee_spark.operators.similarity import cosine_topk
 
     exact = [r["vec_id"] for r in cosine_topk(q, corpus, k=3).orderBy("rank").collect()]
-    full = [r["vec_id"] for r in ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=3).orderBy("rank").collect()]
-    assert full == exact
+    for iters in (0, 2):
+        full = [
+            r["vec_id"]
+            for r in ivf_topk(q, corpus, k=3, n_centroids=3, nprobe=3, train_iters=iters)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert full == exact
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket guards + deterministic k-means (round-2)
+# ---------------------------------------------------------------------------
+
+def test_neardup_hot_bucket_guard(spark):
+    """A boilerplate bucket (many near-identical vectors) above max_bucket is
+    dropped — pair count stays bounded instead of quadratic — and the report
+    names it."""
+    from crawlee_spark.operators.similarity import (
+        dropped_buckets,
+        embedding_neardup_pairs,
+        with_lsh_buckets,
+    )
+
+    dim = 8
+    hot = [(i, [1.0] * dim) for i in range(50)]           # all in one bucket
+    cold = [(1000 + i, [(-1.0) ** i * (j + 1.0) for j in range(dim)]) for i in range(4)]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<float>")
+
+    unguarded = embedding_neardup_pairs(df, dim=dim, nbits=2, threshold_e6=900_000, max_bucket=10_000)
+    assert unguarded.count() >= 50 * 49 // 2  # quadratic without a guard
+
+    guarded = embedding_neardup_pairs(df, dim=dim, nbits=2, threshold_e6=900_000, max_bucket=10)
+    assert guarded.count() < 50  # hot bucket gone, only small buckets pair
+
+    bucketed = with_lsh_buckets(df.select("vec_id", "embedding"), vec_col="embedding", dim=dim, nbits=2)
+    report = dropped_buckets(bucketed, max_bucket=10).collect()
+    assert len(report) == 1 and report[0]["size"] >= 50
+
+
+def test_lsh_ann_bucket_guard(spark):
+    from crawlee_spark.operators.similarity import lsh_ann_topk
+
+    dim = 8
+    hot = [(i, [1.0] * dim) for i in range(40)]
+    df = spark.createDataFrame(hot, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    full = lsh_ann_topk(q, df, k=5, dim=dim, nbits=2, max_bucket=10_000)
+    assert full.count() == 5
+    # guard drops the (only, hot) bucket → bounded work, no results
+    assert lsh_ann_topk(q, df, k=5, dim=dim, nbits=2, max_bucket=10).count() == 0
+
+
+def test_kmeans_fit_deterministic_and_improving(spark):
+    """kmeans_fit: same input → identical centroids across runs and
+    partitionings (exact integer update sums), and Lloyd iterations move
+    centroids toward cluster means."""
+    from crawlee_spark.operators.similarity import kmeans_fit
+
+    rows = []
+    for i in range(60):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [b + (i % 5) * 0.01 for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c1 = kmeans_fit(df, k=2, iters=2)
+    c2 = kmeans_fit(df.repartition(13), k=2, iters=2)
+    assert c1 == c2  # bit-identical across partition layouts
+    # the two clusters separate on the first two axes
+    axes = sorted(c[:2].index(max(c[:2])) for c in c1)
+    assert axes == [0, 1]
+    # iteration 0 centroids are raw vectors (ids 0,1); trained ones are means
+    c0 = kmeans_fit(df, k=2, iters=0)
+    assert c0 != c1
