@@ -148,6 +148,12 @@ class CrawlEngine:
     def final_statistics(self) -> dict:
         return final_statistics(self.outcomes())
 
+    def error_summary(self) -> DataFrame:
+        """Grouped error report (ErrorTracker analog) over the outcome log."""
+        from crawlee_spark.operators.stats import error_summary
+
+        return error_summary(self.outcomes())
+
     # -- session pool (C6) ------------------------------------------------------
     def session_pool(self) -> DataFrame | None:
         if self.session_policy is None:
@@ -577,7 +583,16 @@ class CrawlEngine:
 
     # -- full crawl -------------------------------------------------------------
     def run(self, seeds: DataFrame | None = None) -> dict:
-        """BasicCrawler.run: seed → rounds until finished → FinalStatistics."""
+        """BasicCrawler.run: seed → rounds until finished → FinalStatistics.
+
+        ``crawlerRuntimeMillis`` accumulates across resumes via the kvstore
+        (statistics.ts:325-393 persistState semantics). Wall time here is
+        driver-side observability only — nothing in the data plane (order_no,
+        leases, handled_at) ever reads the clock, so resume determinism and
+        the oracle compare are untouched."""
+        import time as _time
+
+        t0 = _time.time()
         if seeds is not None:
             self.add_seeds(seeds)
         rounds = 0
@@ -586,4 +601,12 @@ class CrawlEngine:
             rounds += 1
             if metrics.get("done"):
                 break
-        return self.final_statistics()
+        from crawlee_spark.operators.kvstore import KeyValueStore
+        from crawlee_spark.operators.stats import persist_run_statistics
+
+        final = self.final_statistics()
+        kv = KeyValueStore(os.path.join(self.store.root, "kv"))
+        state = persist_run_statistics(kv, int((_time.time() - t0) * 1000), final)
+        final["crawlerRuntimeMillis"] = state["crawlerRuntimeMillis"]
+        final["crawlerResumeCount"] = state["crawlerResumeCount"]
+        return final

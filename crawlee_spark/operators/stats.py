@@ -90,3 +90,49 @@ def final_statistics(outcomes: DataFrame, runtime_millis: int | None = None) -> 
         out["requestsFinishedPerMinute"] = round(finished / minutes) if minutes else 0
         out["requestsFailedPerMinute"] = round(failed / minutes) if minutes else 0
     return out
+
+
+def error_summary(outcomes: DataFrame) -> DataFrame:
+    """ErrorTracker analog (packages/core/src/crawlers/error_tracker.ts):
+    group failures by a GENERALIZED message — digit runs collapsed to ``#``,
+    the tracker's number-wildcard idea — so 'status 503 (attempt 2)' and
+    'status 503 (attempt 3)' land in one group. One aggregation over the
+    outcome log; no mutable tracker state.
+
+    Output: (error_group, occurrences, requests, first_round, example)."""
+    errs = outcomes.filter(F.col("error_message").isNotNull())
+    norm = F.regexp_replace(F.col("error_message"), r"\d+", "#")
+    return errs.groupBy(norm.alias("error_group")).agg(
+        F.count("*").alias("occurrences"),
+        F.countDistinct("request_id").alias("requests"),
+        F.min("round_id").alias("first_round"),
+        F.min("error_message").alias("example"),
+    )
+
+
+STATISTICS_STATE_KEY = "SDK_CRAWLER_STATISTICS_0"  # statistics.ts:135 key family
+
+
+def persist_run_statistics(kv, run_millis: int, final: dict, key: str = STATISTICS_STATE_KEY) -> dict:
+    """persistState/_maybeLoadStatistics semantics (statistics.ts:325-393):
+    ``crawlerRuntimeMillis`` ACCUMULATES across resumes (each run adds its own
+    wall time on top of the persisted total — the reference derives this from
+    crawlerLastStartTimestamp; here each run passes its measured duration),
+    while the request counters reflect the full outcome log, which already
+    spans resumes. Returns the merged state that was persisted."""
+    state = kv.get_value(key, None) or {}
+    state["crawlerRuntimeMillis"] = int(state.get("crawlerRuntimeMillis", 0)) + int(run_millis)
+    state["crawlerResumeCount"] = int(state.get("crawlerResumeCount", -1)) + 1
+    for k in (
+        "requestsFinished",
+        "requestsFailed",
+        "requestsRetries",
+        "retryHistogram",
+        "requestTotalDurationMillis",
+        "requestMinDurationMillis",
+        "requestMaxDurationMillis",
+    ):
+        if k in final:
+            state[k] = final[k]
+    kv.set_value(key, state)
+    return state

@@ -49,3 +49,63 @@ def test_empty_outcomes(spark):
     assert stats["requestsFailed"] == 0
     assert stats["retryHistogram"] == []
     assert stats["requestAvgFinishedDurationMillis"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-2: cross-resume runtime accounting + error-tracker summaries
+# ---------------------------------------------------------------------------
+
+def test_persist_run_statistics_accumulates(tmp_path):
+    """statistics.ts:325-393: crawlerRuntimeMillis accumulates across resumes
+    while counters reflect the latest full log (statistics.test.ts:220-306)."""
+    from crawlee_spark.operators.kvstore import KeyValueStore
+    from crawlee_spark.operators.stats import STATISTICS_STATE_KEY, persist_run_statistics
+
+    kv = KeyValueStore(str(tmp_path / "kv"))
+    s1 = persist_run_statistics(kv, 1000, {"requestsFinished": 3, "retryHistogram": [3]})
+    assert s1["crawlerRuntimeMillis"] == 1000 and s1["crawlerResumeCount"] == 0
+    s2 = persist_run_statistics(kv, 250, {"requestsFinished": 7, "retryHistogram": [6, 1]})
+    assert s2["crawlerRuntimeMillis"] == 1250 and s2["crawlerResumeCount"] == 1
+    assert s2["requestsFinished"] == 7 and s2["retryHistogram"] == [6, 1]
+    # persisted: a fresh reader sees the accumulated state
+    assert kv.get_value(STATISTICS_STATE_KEY)["crawlerRuntimeMillis"] == 1250
+
+
+def test_engine_runtime_accumulates_across_resume(spark, tmp_path):
+    from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+    from crawlee_spark.operators.enqueue import EnqueueOptions
+    from crawlee_spark.operators.frontier import FrontierStore
+    from crawlee_spark.sources.fixtures import make_pages, make_seeds
+
+    root = str(tmp_path / "f")
+    pages = make_pages(spark, n_pages=12)
+
+    def engine(rounds):
+        return CrawlEngine(
+            spark, FrontierStore(spark, root, 2), pages,
+            options=CrawlOptions(max_rounds=rounds, enqueue=EnqueueOptions(strategy="all")),
+        )
+
+    s1 = engine(1).run(make_seeds(spark, n=3))
+    s2 = engine(1).run()  # resume over the same store dir
+    assert s2["crawlerResumeCount"] == 1
+    assert s2["crawlerRuntimeMillis"] > s1["crawlerRuntimeMillis"]
+
+
+def test_error_summary_groups_generalized_messages(spark):
+    from crawlee_spark.operators.stats import OUTCOME_SCHEMA, error_summary
+
+    rows = [
+        ("r1", "https://a/1", 1, 0, "retry", 503, 10, "Request failed with status 503", None),
+        ("r1", "https://a/1", 2, 1, "retry", 503, 10, "Request failed with status 503", None),
+        ("r2", "https://a/2", 1, 0, "fail", 404, 10, "Request failed with status 404", None),
+        ("r3", "https://a/3", 1, 0, "fail", None, 10, "Fetch failed: page not found in source", None),
+        ("r4", "https://a/4", 3, 0, "success", 200, 10, None, None),
+    ]
+    out = spark.createDataFrame(rows, OUTCOME_SCHEMA)
+    got = {r["error_group"]: r for r in error_summary(out).collect()}
+    # 503 and 404 generalize into ONE status group (number wildcard)
+    grp = got["Request failed with status #"]
+    assert grp["occurrences"] == 3 and grp["requests"] == 2 and grp["first_round"] == 1
+    assert got["Fetch failed: page not found in source"]["occurrences"] == 1
+    assert len(got) == 2  # successes contribute nothing
