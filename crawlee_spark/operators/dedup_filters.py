@@ -116,6 +116,56 @@ def build_filters(
     return hashed.groupBy("bucket").applyInPandas(build, FILTER_SCHEMA)
 
 
+def merge_filters(
+    filters: DataFrame,
+    new_ids: DataFrame,
+    *,
+    id_col: str = "request_id",
+    num_buckets: int = 64,
+    bits_per_key: int = 10,
+    k_hashes: int = 7,
+    min_bits: int = 8192,
+) -> DataFrame:
+    """Incremental maintenance: OR the new keys' bits into the per-bucket
+    filters — the Iceberg-style alternative to rebuilding from the whole
+    seen-set after every delta commit (at 10^10 rows a rebuild is a full-table
+    scan; a merge touches only the delta's ids). Existing buckets keep their
+    m/k (false-positive rate degrades gracefully as n_keys grows and resets
+    at the next compaction rebuild); buckets with no filter yet are built
+    fresh. Re-adding an id already present is a no-op bitwise, so update
+    deltas (same ids, new row versions) are harmless."""
+    hashed = new_ids.select(
+        bucket_col(id_col, num_buckets).alias("bucket"), F.xxhash64(F.col(id_col)).alias("h")
+    )
+
+    def merge(key, fil: pd.DataFrame, ids: pd.DataFrame) -> pd.DataFrame:
+        cols = ["bucket", "m_bits", "k_hashes", "n_keys", "bits"]
+        if fil.empty:
+            h = ids["h"].to_numpy().astype(np.uint64)
+            m = max(min_bits, int(len(h) * bits_per_key))
+            m = (m + 7) // 8 * 8
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bits, h, k_hashes, m)
+            return pd.DataFrame([(int(key[0]), m, k_hashes, len(h), bits.tobytes())], columns=cols)
+        row = fil.iloc[0]
+        if ids.empty:
+            return fil[cols]
+        bits = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+        h = ids["h"].to_numpy().astype(np.uint64)
+        _set_bits(bits, h, int(row["k_hashes"]), int(row["m_bits"]))
+        return pd.DataFrame(
+            [(int(row["bucket"]), int(row["m_bits"]), int(row["k_hashes"]),
+              int(row["n_keys"]) + len(h), bits.tobytes())],
+            columns=cols,
+        )
+
+    return (
+        filters.groupBy("bucket")
+        .cogroup(hashed.groupBy("bucket"))
+        .applyInPandas(merge, FILTER_SCHEMA)
+    )
+
+
 def split_candidates(
     candidates: DataFrame,
     filters: DataFrame,

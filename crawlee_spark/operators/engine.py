@@ -82,6 +82,13 @@ class CrawlOptions:
     # E6: override every response's charset (http-crawler.ts forceResponseEncoding);
     # default: the Content-Type header's charset parameter, else utf-8
     force_response_encoding: str | None = None
+    # C7 requestHandlerTimeoutSecs (basic-crawler.ts:735-770): in the batch
+    # model the handler cost is data (a ``handler_ms`` column on pages —
+    # measured in production, synthesized in tests); a row over the limit is
+    # a retryable TimeoutError exactly like the reference (consumes
+    # retryCount, message 'requestHandler timed out after N seconds.').
+    # None disables the gate (and sources without handler_ms are never gated).
+    request_handler_timeout_secs: float | None = None
 
 
 @dataclass
@@ -124,6 +131,8 @@ class CrawlEngine:
                 F.coalesce(F.col("content_type"), F.lit("")), F.col("url")
             )
             pages = pages.withColumn("charset", charset)
+        if "handler_ms" not in cols:  # C7: no cost column ⇒ never times out
+            pages = pages.withColumn("handler_ms", F.lit(None).cast("long"))
         self._pages = pages.withColumnRenamed("url", "page_url")
 
     # -- derived frames -------------------------------------------------------
@@ -174,6 +183,14 @@ class CrawlEngine:
         updated = replenish_pool(self.spark, updated, round_id, self.session_policy)
         updated = updated.localCheckpoint(eager=True)  # pin before overwrite
         updated.write.mode("overwrite").parquet(self.sessions_dir)
+
+    def _handler_timeout_pred(self):
+        """C7: handler_ms over requestHandlerTimeoutSecs (false when either
+        side is absent)."""
+        if self.options.request_handler_timeout_secs is None:
+            return F.lit(False)
+        limit_ms = int(self.options.request_handler_timeout_secs * 1000)
+        return F.col("handler_ms").isNotNull() & (F.col("handler_ms") > limit_ms)
 
     # -- budget (F6: basic-crawler.ts:1199-1210) ------------------------------
     def _remaining_budget(self) -> int | None:
@@ -301,12 +318,24 @@ class CrawlEngine:
                 F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail")),
             )
             .when((F.col("status_code") >= 400) | ~mime_ok, F.lit("fail"))  # non-retryable
+            .when(
+                # C7: handler over budget ⇒ retryable TimeoutError
+                self._handler_timeout_pred(),
+                F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(F.lit("fail")),
+            )
             .otherwise(F.lit("success")),
         ).withColumn(
             "_error",
             F.when(F.col("_outcome").isin("success", "skip_redirect"), F.lit(None).cast("string"))
             .when(~F.col("_robots_ok"), F.lit("Skipped by robots.txt"))
             .when(F.col("html").isNull(), F.lit("Fetch failed: page not found in source"))
+            .when(
+                (F.col("status_code") < 400) & self._handler_timeout_pred(),
+                F.lit(
+                    f"requestHandler timed out after "
+                    f"{self.options.request_handler_timeout_secs} seconds."
+                ),
+            )
             .otherwise(F.concat(F.lit("Request failed with status "), F.col("status_code"))),
         )
         # ---- fused single-parse extraction over preliminary successes.

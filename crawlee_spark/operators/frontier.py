@@ -256,19 +256,56 @@ class FrontierStore:
         )
 
     def filters(self) -> DataFrame:
-        """Per-bucket Bloom filters over the current snapshot's request_ids
-        (built once per snapshot, persisted next to it; the Iceberg analog
-        maintains them incrementally per partition via bitwise OR of the new
-        keys' bits)."""
-        from crawlee_spark.operators.dedup_filters import build_filters
+        """Per-bucket Bloom filters covering the CURRENT frontier
+        (snapshot + outstanding deltas), maintained incrementally.
 
+        A delta commit never triggers a rebuild: the missing deltas' ids are
+        OR-merged into the previous filter version (O(delta), the Iceberg
+        discipline) and written as a new immutable version; only a snapshot
+        change (compaction / bootstrap) rebuilds from the full seen-set.
+        The version pointer lives in the manifest (``filters_state``) and is
+        advanced only after the files exist, so a crash mid-maintenance just
+        redoes the idempotent merge."""
+        from crawlee_spark.operators.dedup_filters import build_filters, merge_filters
+
+        nb = self.bloom_buckets or 64
         snap = self._manifest["snapshot"]
-        fdir = os.path.join(self.root, "filters", f"v{snap:06d}")
-        if not os.path.exists(fdir):
-            build_filters(
-                self.read().select("request_id"), num_buckets=self.bloom_buckets or 64
-            ).write.mode("overwrite").parquet(fdir)
-        return self.spark.read.parquet(fdir)
+        deltas = list(self._manifest.get("deltas", []))
+        state = self._manifest.get("filters_state")
+
+        def fdir(v: int) -> str:
+            return os.path.join(self.root, "filters", f"f{v:06d}")
+
+        if state is not None and os.path.exists(fdir(state["version"])):
+            if state["snapshot"] == snap and state["deltas"] == deltas:
+                return self.spark.read.parquet(fdir(state["version"]))
+            if state["snapshot"] == snap and state["deltas"] == deltas[: len(state["deltas"])]:
+                missing = deltas[len(state["deltas"]):]
+                ids = None
+                for seq in missing:
+                    part = self.spark.read.parquet(self._delta_dir(seq)).select("request_id")
+                    ids = part if ids is None else ids.unionByName(part)
+                merged = merge_filters(
+                    self.spark.read.parquet(fdir(state["version"])), ids, num_buckets=nb
+                )
+                v = state["version"] + 1
+                merged.write.mode("overwrite").parquet(fdir(v))
+                self._manifest["filters_state"] = {
+                    "snapshot": snap, "deltas": deltas, "version": v,
+                }
+                self._write_manifest()
+                old = fdir(v - 2)
+                if v >= 2 and os.path.exists(old):
+                    shutil.rmtree(old, ignore_errors=True)
+                return self.spark.read.parquet(fdir(v))
+        # snapshot changed (or bootstrap): full rebuild from the seen-set
+        v = (state["version"] + 1) if state is not None else 0
+        build_filters(self.read().select("request_id"), num_buckets=nb).write.mode(
+            "overwrite"
+        ).parquet(fdir(v))
+        self._manifest["filters_state"] = {"snapshot": snap, "deltas": deltas, "version": v}
+        self._write_manifest()
+        return self.spark.read.parquet(fdir(v))
 
     def commit(self, df: DataFrame, *, round_increment: bool = False, extra: dict | None = None) -> int:
         """Write a new snapshot and atomically advance the manifest.
@@ -432,17 +469,12 @@ class FrontierStore:
         # (2) seen-set dedup: exact left-anti join, fronted by the
         # partitioned Bloom prefilter when enabled (D7) — definitely-new
         # candidates skip the join shuffle entirely; maybe-seen ones get the
-        # exact check, so the result is identical either way
-        # (bloom only when the filter matches the snapshot exactly: with MOR
-        # deltas outstanding a stale filter could say "definitely new" for an
-        # id added by a delta — the one direction the guarantee forbids.
-        # Production Iceberg maintains filters incrementally per delta by
-        # OR-merging the new keys' bits; here we fall back to the exact join.)
-        if (
-            self.bloom_buckets
-            and against is None
-            and self._manifest["snapshot"] >= 0
-            and not self._manifest.get("deltas")
+        # exact check, so the result is identical either way. ``filters()``
+        # keeps the filters current across MOR deltas by OR-merging each
+        # delta's ids (never a stale "definitely new" for a delta-added id —
+        # the one direction the guarantee forbids).
+        if self.bloom_buckets and against is None and (
+            self._manifest["snapshot"] >= 0 or self._manifest.get("deltas")
         ):
             from crawlee_spark.operators.dedup_filters import bloom_anti_join
 

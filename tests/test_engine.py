@@ -352,3 +352,37 @@ def test_force_response_encoding(spark, tmp_store_dir):
     )
     engine.run(spark.createDataFrame([("https://x.com/f",)], "url string"))
     assert engine.results().collect()[0]["text"] == "café"
+
+
+def test_request_handler_timeout(spark, tmp_store_dir):
+    """C7: a handler over requestHandlerTimeoutSecs is a retryable
+    TimeoutError — retried up to maxRequestRetries then failed with the
+    reference's message (basic-crawler.ts:735-770)."""
+    pages = spark.createDataFrame(
+        [
+            ("https://x.com/slow", b"<p>slow</p>", 200, "text/html", 5000),
+            ("https://x.com/fast", b"<p>fast</p>", 200, "text/html", 100),
+        ],
+        "url string, html binary, status_code int, content_type string, handler_ms long",
+    )
+    engine = build_engine(
+        spark, tmp_store_dir, pages,
+        options=CrawlOptions(
+            max_rounds=10, max_request_retries=2, request_handler_timeout_secs=1.0,
+        ),
+    )
+    stats = engine.run(
+        spark.createDataFrame([("https://x.com/slow",), ("https://x.com/fast",)], "url string")
+    )
+    assert stats["requestsFinished"] == 1 and stats["requestsFailed"] == 1
+    slow = engine.outcomes().filter("url = 'https://x.com/slow'").orderBy("round_id").collect()
+    assert [o["outcome"] for o in slow] == ["retry", "retry", "fail"]
+    assert slow[0]["error_message"] == "requestHandler timed out after 1.0 seconds."
+    # without the option the same pages all succeed
+    engine2 = build_engine(
+        spark, tmp_store_dir + "_off", pages, options=CrawlOptions(max_rounds=3)
+    )
+    stats2 = engine2.run(
+        spark.createDataFrame([("https://x.com/slow",), ("https://x.com/fast",)], "url string")
+    )
+    assert stats2["requestsFinished"] == 2

@@ -20,3 +20,63 @@ def test_store_bloom_dedup_idempotence(spark, tmp_store_dir):
     assert store.read().count() == 70
     # every request_id unique (no duplicate slipped past the filter)
     assert store.read().select("request_id").distinct().count() == 70
+
+
+def test_bloom_incremental_across_mor_deltas(spark, tmp_store_dir):
+    """MOR store: delta commits must NOT disable or rebuild the prefilter —
+    filters() OR-merges each delta's ids (version increments, snapshot
+    unchanged) and dedup stays exact against snapshot+delta contents."""
+    store = FrontierStore(
+        spark, tmp_store_dir, num_partitions=4, bloom_buckets=8,
+        merge_on_read=True, compact_every=100,
+    )
+    store.add_requests(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(40)], "url string")
+    )
+    store.filters()  # build v0 over the snapshot
+    v0 = store._manifest["filters_state"]["version"]
+
+    # a delta adds 10 new rows (bypassing add_requests' full commit)
+    fresh = store.prepare_fresh(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(40, 50)], "url string")
+    )
+    store.commit_delta(fresh)
+    # enqueue overlapping candidates THROUGH the bloom path: ids 30..59
+    fresh2 = store.prepare_fresh(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(30, 60)], "url string")
+    )
+    store.commit_delta(fresh2)
+    state = store._manifest["filters_state"]
+    assert state["version"] > v0 and state["snapshot"] == store._manifest["snapshot"]
+    assert store.read().count() == 60
+    assert store.read().select("request_id").distinct().count() == 60
+
+    # compaction rebuilds from the full seen-set and stays exact
+    store.commit(store.read())
+    fresh3 = store.prepare_fresh(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(55, 65)], "url string")
+    )
+    assert fresh3.count() == 5
+
+
+def test_bloom_filters_cover_every_frontier_id(spark, tmp_store_dir):
+    """Guarantee direction: every id in the current frontier must probe
+    maybe_seen=True (no false 'definitely new' → no duplicate ever)."""
+    from crawlee_spark.operators.dedup_filters import split_candidates
+
+    store = FrontierStore(
+        spark, tmp_store_dir, num_partitions=4, bloom_buckets=8,
+        merge_on_read=True, compact_every=100,
+    )
+    store.add_requests(
+        spark.createDataFrame([(f"http://b.com/{i}",) for i in range(25)], "url string")
+    )
+    store.commit_delta(
+        store.prepare_fresh(
+            spark.createDataFrame([(f"http://b.com/{i}",) for i in range(25, 45)], "url string")
+        )
+    )
+    tagged = split_candidates(
+        store.read().select("request_id"), store.filters(), num_buckets=8
+    )
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
