@@ -384,6 +384,28 @@ class CrawlEngine:
         )
         classified = rest.unionByName(ext).localCheckpoint(eager=True)
 
+        # ---- ONE O(claimed) aggregate feeds everything driver-side this
+        # round needs: per-outcome counts (metrics + O(1) counter deltas),
+        # the discovered-link total, and the reclaim re-sequencing range —
+        # previously three separate jobs over the same checkpointed frame.
+        stat_rows = (
+            classified.groupBy("_outcome")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.size(F.coalesce(F.col("_links"), F.array()))).alias("links"),
+                F.min(F.abs(F.col("order_no"))).alias("lo"),
+                F.max(F.abs(F.col("order_no"))).alias("hi"),
+            )
+            .collect()
+        )
+        cnts = {r["_outcome"]: int(r["n"]) for r in stat_rows}
+        n_links = sum(int(r["links"] or 0) for r in stat_rows if r["_outcome"] == "success")
+        reclaim_rows = [r for r in stat_rows if r["_outcome"] in ("retry", "session_retry")]
+        n_reclaims = sum(int(r["n"]) for r in reclaim_rows)
+        r_lo = min((int(r["lo"]) for r in reclaim_rows), default=0)
+        r_hi = max((int(r["hi"]) for r in reclaim_rows), default=0)
+        r_span = (r_hi - r_lo + 1) if n_reclaims else 0
+
         # redirect-skips go to the skipped side-output (reason 'redirect')
         (
             classified.filter(F.col("_outcome") == "skip_redirect")
@@ -425,7 +447,6 @@ class CrawlEngine:
             )
             .filter(F.col("url").isNotNull())
         )
-        n_links = links.count()
         new_enqueued = 0
         fresh_rows = None
         if n_links:
@@ -493,14 +514,10 @@ class CrawlEngine:
         if self.session_policy is not None:
             self._update_sessions(attempt_rows.select("session_id", "outcome"), round_id)
 
-        # ---- O(1) counter maintenance: one O(claimed) aggregate over the
-        # pinned classified set updates the manifest's handled/failed totals,
-        # committed atomically with the outcome delta below. Monitoring and
-        # budgets read these counters instead of scanning the frontier.
-        cnts = {
-            r["_outcome"]: r["n"]
-            for r in classified.groupBy("_outcome").agg(F.count("*").alias("n")).collect()
-        }
+        # ---- O(1) counter maintenance from the fused round aggregate:
+        # the manifest's handled/failed totals advance atomically with the
+        # outcome delta below. Monitoring and budgets read these counters
+        # instead of scanning the frontier.
         handled_inc = sum(cnts.get(o, 0) for o in ("success", "skip_redirect", "fail", "skip_robots"))
         failed_inc = sum(cnts.get(o, 0) for o in ("fail", "skip_robots"))
         counter_extra = {
@@ -513,7 +530,7 @@ class CrawlEngine:
         # with merge-on-read that's ALL we write (O(claimed+fresh) per round);
         # otherwise the untouched remainder is carried by an anti-join union
         # (never a frontier-wide equality join against the update set).
-        updated = self._outcome_rows(classified, round_id)
+        updated = self._outcome_rows(classified, round_id, r_lo, r_span)
         delta = updated if fresh_rows is None else updated.unionByName(fresh_rows)
         if self.store.merge_on_read:
             self.store.commit_delta(
@@ -538,11 +555,18 @@ class CrawlEngine:
             "done": False,
         }
 
-    def _outcome_rows(self, classified: DataFrame, round_id: int) -> DataFrame:
+    def _outcome_rows(
+        self, classified: DataFrame, round_id: int, r_lo: int, r_span: int
+    ) -> DataFrame:
         """Set-wise markRequestHandled / reclaimRequest (O8/O9, C4-C6) applied
         DIRECTLY to the claimed rows: the claim already carries the frontier
         columns, so the state transition is a map-only projection over
-        O(claimed) rows — no frontier-wide join anywhere in the round."""
+        O(claimed) rows — no frontier-wide join anywhere in the round.
+
+        ``r_lo``/``r_span`` come from the round's fused
+        O(claimed) aggregate: fresh order_no for reclaimed rows = back of
+        FIFO (front if forefront), preserving previous relative order —
+        sparse assignment from the old unique |order_no|, no window."""
         handled_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.lit(round_id))
         new_seq_base = self.store.order_seq
 
@@ -553,17 +577,6 @@ class CrawlEngine:
         is_fail = F.col("_outcome").isin("fail", "skip_robots")
         is_reclaim = is_retry | is_session_retry
 
-        # fresh order_no for reclaimed rows: back of FIFO / front if forefront,
-        # preserving their previous relative order. Sparse assignment from the
-        # old |order_no| (unique) — one small aggregate, no global window.
-        rstats = classified.filter(is_reclaim).agg(
-            F.count("*").alias("n"),
-            F.min(F.abs(F.col("order_no"))).alias("lo"),
-            F.max(F.abs(F.col("order_no"))).alias("hi"),
-        ).collect()[0]
-        n_reclaims = int(rstats["n"] or 0)
-        r_lo = int(rstats["lo"]) if rstats["lo"] is not None else 0
-        r_span = (int(rstats["hi"]) - r_lo + 1) if n_reclaims else 0
         rseq = F.lit(new_seq_base) + (F.abs(F.col("order_no")) - F.lit(r_lo)) + 1
 
         updated = (
