@@ -335,6 +335,93 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: the corpus written PARTITIONED BY its
+    coarse cell, plus the trained centroids as a JSON sidecar.
+
+    This is the 100 TB shape of IVF: the inverted lists are physical
+    partition directories, so a query that probes ``nprobe`` of
+    ``n_centroids`` cells scans only those directories — Catalyst partition
+    pruning does the list selection at planning time, no data read from
+    unprobed cells (``ivf_search_index`` + tests/test_plans.py pin this)."""
+    import json
+
+    cents = kmeans_fit(corpus, k=n_centroids, iters=train_iters, id_col=id_col, vec_col=vec_col)
+    assigned = with_centroid_scores(
+        corpus.select(id_col, F.col(vec_col).alias("_v")), "_v", cents, "_cs"
+    )
+    assigned = assigned.withColumn("ivf_cell", _argmax_excluding(n_centroids, "_cs", [])).drop(
+        *[f"_cs{i}" for i in range(n_centroids)]
+    )
+    assigned.select(id_col, F.col("_v").alias(vec_col), "ivf_cell").write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cell").parquet(path)
+    with open(path.rstrip("/") + ".centroids.json", "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search over a materialized IVF index with partition pruning:
+    collect the query batch's probed cells (≤ nprobe × |queries| ints on the
+    driver), scan ONLY those cell directories via an ``isin`` partition
+    filter, then exact-score and rank inside the probed lists. Output shape
+    matches ``cosine_topk``."""
+    import json
+
+    with open(path.rstrip("/") + ".centroids.json") as f:
+        cents = [list(map(float, c)) for c in json.load(f)]
+    n_centroids = len(cents)
+    q = with_centroid_scores(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
+        "_qvec", cents, "_qs",
+    )
+    for p in range(nprobe):
+        prev = [F.col(f"_probe{j}") for j in range(p)]
+        q = q.withColumn(f"_probe{p}", _argmax_excluding(n_centroids, "_qs", prev))
+    q = q.withColumn("_cells", F.array(*[F.col(f"_probe{p}") for p in range(nprobe)])).drop(
+        *[f"_qs{i}" for i in range(n_centroids)], *[f"_probe{p}" for p in range(nprobe)]
+    )
+    probed = sorted(
+        {int(c) for r in q.select(F.explode("_cells").alias("c")).distinct().collect() for c in [r["c"]]}
+    )
+    corpus = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probed))
+    scored = (
+        corpus.select(id_col, F.col(vec_col).alias("_cvec"), "ivf_cell")
+        .join(F.broadcast(q), F.array_contains(F.col("_cells"), F.col("ivf_cell")))
+        .withColumn("_score", cosine_col("_qvec", "_cvec"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("_score") * 1_000_000).cast("long").alias("score_e6"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -102,3 +102,57 @@ def stream_sessionize(
         )
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def stream_host_rate_limit(
+    urls_stream: DataFrame,
+    *,
+    budget_per_batch: int = 10,
+    carryover_cap: int | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """C3 politeness as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): a per-host token bucket whose credit
+    survives across micro-batches — the event-driven form of
+    ``sameDomainDelaySecs`` (basic-crawler.ts:1559-1595), where the batch
+    scheduler instead uses per-round window budgets (scheduler.py).
+
+    Each micro-batch refills ``budget_per_batch`` tokens per host; a host
+    admits up to ``tokens + carried credit`` URLs (deterministic order:
+    ``url`` ascending) and carries unused credit forward, capped at
+    ``carryover_cap`` (default: one batch's budget — a polite crawler never
+    hoards). Rows are emitted with an ``admitted`` flag so the non-admitted
+    remainder can be looped back into the frontier (whose anti-join keeps
+    the loop idempotent) rather than lost.
+
+    State per host is ONE long (the credit): at 10^8 hosts that is a few GB
+    across the cluster's state store — the shape that scales, as opposed to
+    keeping per-URL state."""
+    import pandas as pd  # local: keep the module import-light
+    from pyspark.sql import types as T
+
+    src = urls_stream.select(F.col(host_col).alias("host"), F.col(url_col).alias("url"))
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("credit", T.LongType())])
+    cap = budget_per_batch if carryover_cap is None else carryover_cap
+
+    def limiter(key, pdfs, state):
+        credit = int(state.get[0]) if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("url", kind="mergesort").reset_index(drop=True)
+        allow = min(len(rows), budget_per_batch + credit)
+        new_credit = min(cap, budget_per_batch + credit - allow)
+        state.update((new_credit,))
+        rows["admitted"] = rows.index < allow
+        yield rows
+
+    return src.groupBy("host").applyInPandasWithState(
+        limiter, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -90,3 +90,32 @@ def test_anti_join_is_hash_not_cartesian(spark, store):
     plan = explain_str(anti, "simple")
     assert "LeftAnti" in plan
     assert "Cartesian" not in plan
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path_factory):
+    """The materialized IVF index must PRUNE unprobed cells at scan time —
+    the partition filter reaches the file source (only probed cell dirs
+    are read), which is the whole point of the physical-IVF layout."""
+    from crawlee_spark.operators.similarity import (
+        ivf_search_index,
+        ivf_write_index,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("ivf-index")) + "/idx"
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf_write_index(corpus, d, n_centroids=4, train_iters=1)
+
+    q = corpus.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
+    res = ivf_search_index(spark, d, q, k=3, nprobe=2)
+    plan = explain_str(res)
+    # partition filter present and pushed to the scan
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    rows_out = res.collect()
+    assert {r["query_id"] for r in rows_out} == {0, 1}
+    # pruned search ≡ in-memory ivf_topk with the same quantizer params
+    mem = ivf_topk(q, corpus, k=3, n_centroids=4, nprobe=2, train_iters=1).collect()
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, mem))

@@ -91,3 +91,46 @@ def test_stream_sessionize(spark, tmp_store_dir):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]  # two sessions: 2 events + 1 event
     assert per_user[2] == [1]
+
+
+def test_stream_host_rate_limit_stateful(spark, tmp_store_dir):
+    """applyInPandasWithState token bucket: credit carries ACROSS
+    micro-batches (batch 1 under-uses the budget; batch 2 spends the carried
+    credit), non-admitted rows are flagged, never dropped."""
+    import time
+
+    from crawlee_spark.streaming.stream import stream_host_rate_limit
+
+    src = os.path.join(tmp_store_dir, "src_rl")
+    schema = "host string, url string"
+    # batch 1: host a uses 1 of 2 tokens (credit 1 carries); host b floods
+    b1 = [("a", "http://a/1")] + [("b", f"http://b/{i}") for i in range(5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → maxFilesPerTrigger splits batches
+    # batch 2: host a brings 3 → 2 fresh + 1 carried = all admitted
+    b2 = [("a", f"http://a/{i}") for i in range(2, 5)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    gated = stream_host_rate_limit(stream, budget_per_batch=2)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("rl_t")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_store_dir, "ckpt_rl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rl_t").collect()
+    admitted = {r["url"] for r in rows if r["admitted"]}
+    refused = {r["url"] for r in rows if not r["admitted"]}
+    # host a: all 4 admitted (1 in batch 1; 3 in batch 2 thanks to credit)
+    assert {u for u in admitted if u.startswith("http://a/")} == {
+        "http://a/1", "http://a/2", "http://a/3", "http://a/4"
+    }
+    # host b: exactly 2 of 5 admitted in batch 1 (deterministic: url order)
+    assert {u for u in admitted if u.startswith("http://b/")} == {"http://b/0", "http://b/1"}
+    assert len(refused) == 3
+    # nothing lost: every input row emitted exactly once
+    assert len(rows) == len(b1) + len(b2)
