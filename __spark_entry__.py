@@ -540,6 +540,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(queries, e, k=5, n_centroids=8, nprobe=2)
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-IVF flavor of ann_ivf_topk: build the cell-partitioned
+    index on disk, search with partition pruning — must produce exactly the
+    in-memory result (same deterministic quantizer), so it shares the
+    ann_ivf_topk oracle."""
+    import tempfile
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = tempfile.mkdtemp(prefix="crawlee_spark_ivf_") + "/idx"
+    SIM.ivf_write_index(e, idx, n_centroids=8, train_iters=2)
+    return SIM.ivf_search_index(spark, idx, queries, k=5, nprobe=2)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return SIM.embedding_neardup_pairs(e, dim=64, nbits=4, threshold_e6=400_000)
@@ -685,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index": q_ann_ivf_index,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1219,6 +1234,7 @@ FROM scored WHERE quality >= 40 GROUP BY source, lang_pred
         "ann_cosine_topk": ann_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": ivf_sql,
+        "ann_ivf_index": ivf_sql,  # identical result by construction
         "embedding_neardup": neardup_sql,
         "multimodal_meta": """
 WITH m AS (

@@ -65,6 +65,30 @@ class KeyValueStore:
                 return f.read()
         return default
 
+    def list_keys(self, *, exclusive_start_key: str | None = None, limit: int | None = None) -> list[str]:
+        """listKeys (key_value_store.ts:393-437): keys in lexicographic order,
+        optionally after ``exclusive_start_key``, capped at ``limit``."""
+        keys = sorted(
+            {os.path.splitext(f)[0] for f in os.listdir(self.root) if f.endswith((".json", ".bin"))}
+        )
+        if exclusive_start_key is not None:
+            keys = [k for k in keys if k > exclusive_start_key]
+        return keys[:limit] if limit is not None else keys
+
+    def for_each_key(self, fn, *, exclusive_start_key: str | None = None) -> int:
+        """forEachKey: call ``fn(key, index)`` per key in order; returns the
+        count (key_value_store.ts:446-462)."""
+        keys = self.list_keys(exclusive_start_key=exclusive_start_key)
+        for i, k in enumerate(keys):
+            fn(k, i)
+        return len(keys)
+
+    def drop(self) -> None:
+        """drop(): remove the whole store (key_value_store.ts:331-338)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
     def get_auto_saved_value(self, key: str, default_value: dict | None = None) -> "RecoverableState":
         """getAutoSavedValue: a mutable dict persisted via ``.save()``
         (the reference persists on an interval + at migration events; here

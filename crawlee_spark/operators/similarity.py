@@ -400,8 +400,14 @@ def ivf_search_index(
     q = q.withColumn("_cells", F.array(*[F.col(f"_probe{p}") for p in range(nprobe)])).drop(
         *[f"_qs{i}" for i in range(n_centroids)], *[f"_probe{p}" for p in range(nprobe)]
     )
+    # pin the (small) query batch: Catalyst's projection collapse would
+    # otherwise inline each probe's argmax chain into the next — an
+    # exponentially-nested literal tree whose mere toString OOMs the driver
+    # (same pathology with_centroid_scores documents) — and the probed-cell
+    # collect below would pay it twice
+    q = q.localCheckpoint(eager=True)
     probed = sorted(
-        {int(c) for r in q.select(F.explode("_cells").alias("c")).distinct().collect() for c in [r["c"]]}
+        {int(r["c"]) for r in q.select(F.explode("_cells").alias("c")).distinct().collect()}
     )
     corpus = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probed))
     scored = (

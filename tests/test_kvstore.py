@@ -29,3 +29,21 @@ def test_recoverable_state_roundtrip(tmp_store_dir):
     # resume: a fresh store object sees the persisted value
     st2 = KeyValueStore(tmp_store_dir).get_auto_saved_value("CRAWL-STATE")
     assert st2.value == {"rounds": 7}
+
+
+def test_list_keys_and_for_each(tmp_path):
+    from crawlee_spark.operators.kvstore import KeyValueStore
+
+    kv = KeyValueStore(str(tmp_path / "kv"))
+    for k in ("b-key", "a-key", "c-key"):
+        kv.set_value(k, {"v": k})
+    kv.set_value("blob", b"\x00\x01", content_type="application/octet-stream")
+    assert kv.list_keys() == ["a-key", "b-key", "blob", "c-key"]
+    assert kv.list_keys(exclusive_start_key="b-key") == ["blob", "c-key"]
+    assert kv.list_keys(limit=2) == ["a-key", "b-key"]
+    seen = []
+    n = kv.for_each_key(lambda k, i: seen.append((k, i)))
+    assert n == 4 and seen[0] == ("a-key", 0) and seen[-1] == ("c-key", 3)
+    kv.drop()
+    import os
+    assert not os.path.exists(str(tmp_path / "kv"))
