@@ -318,6 +318,10 @@ def ivf_topk(
     q = q.withColumn("_cells", F.array(*[F.col(f"_probe{p}") for p in range(nprobe)])).drop(
         *[f"_qs{i}" for i in range(n_centroids)], *[f"_probe{p}" for p in range(nprobe)]
     )
+    # pin the (small) query batch: projection collapse otherwise nests the
+    # probe argmax chains exponentially (see ivf_search_index note) and the
+    # optimizer/toString pays for it on every downstream action
+    q = q.localCheckpoint(eager=True)
     scored = (
         c.join(F.broadcast(q), F.array_contains(F.col("_cells"), F.col("ivf_cell")))
         .withColumn("_score", cosine_col("_qvec", "_cvec"))
