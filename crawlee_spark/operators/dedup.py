@@ -104,7 +104,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         shingles_col(F.col(text_col), n).alias("_sh"),
-    )
+    ).localCheckpoint(eager=True)
+    # pinned: both self-join branches reuse the computed shingle arrays
+    # instead of re-running tokenize→n-gram→distinct→sort per branch
     a = base.select(
         F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
     )
@@ -154,24 +156,30 @@ def with_minhash_bands(
     n: int = 3,
     num_perm: int = 12,
     bands: int = 4,
+    shingled: bool = False,
 ) -> DataFrame:
     """Per-document banded MinHash: one row per (doc, band) with the band key.
 
     ``bands`` must divide ``num_perm``; rows per band = num_perm // bands.
-    Band key = md5 of the concatenated signature slice."""
+    Band key = md5 of the concatenated signature slice. With
+    ``shingled=True`` the input is already ``(_id, _sh)`` (a pinned shingle
+    frame the caller reuses for verification)."""
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
-    # materialize shingles as a column FIRST: each signature expression then
-    # references the computed array instead of re-building (tokenize →
-    # n-gram → distinct → sort) num_perm times per document. Re-spread the
-    # input first — small corpora arrive as one parquet split, and the
-    # signature math (num_perm md5 passes over every shingle) is the
-    # expensive part worth all cores.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    shingled = spread.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
-    )
-    sigs = shingled.select("_id", *minhash_signature_cols(F.col("_sh"), num_perm))
+    if shingled:
+        sh_frame = df
+    else:
+        # materialize shingles as a column FIRST: each signature expression
+        # then references the computed array instead of re-building (tokenize
+        # → n-gram → distinct → sort) num_perm times per document. Re-spread
+        # the input first — small corpora arrive as one parquet split, and
+        # the signature math (num_perm md5 passes over every shingle) is the
+        # expensive part worth all cores.
+        spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        sh_frame = spread.select(
+            F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
+        )
+    sigs = sh_frame.select("_id", *minhash_signature_cols(F.col("_sh"), num_perm))
     band_structs = []
     for b in range(bands):
         key = F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
@@ -204,9 +212,18 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, inter_cnt, union_cnt) — verified near-dups.
     """
+    # shingles computed ONCE and pinned: the signature pass, both candidate
+    # branches, and both verify joins all reuse this frame — without the pin
+    # the self-joins re-run the whole tokenize→shingle (and the banding
+    # re-runs the 12 md5 passes) per branch, which measured ~2× the whole
+    # operator's cost at sf0.1
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
+    ).localCheckpoint(eager=True)
     banded = with_minhash_bands(
-        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, bands=bands
-    )
+        sh, shingled=True, num_perm=num_perm, bands=bands
+    ).localCheckpoint(eager=True)
     sized = banded.withColumn(
         "_bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
     ).filter(F.col("_bsz") <= max_bucket)
@@ -217,9 +234,6 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
     )
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -291,35 +305,81 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str = "source",
+    block_col: str | None = "source",
     max_hamming: int = 3,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Pairs (a < b) within a block with SimHash Hamming distance ≤ k.
+    """Pairs (a < b) with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Output: (id_a, id_b, hamming). Verification is bit_count(XOR) over the
-    four 16-bit words. At full scale the block key would be one simhash word
-    (the standard 4-table rotation guaranteeing recall for k ≤ 3); here the
-    corpus block column doubles as the bound on the self-join."""
+    Output: (id_a, id_b, hamming); verification is bit_count(XOR) over the
+    four 16-bit words. Candidate generation:
+
+    - ``block_col`` given: self-join inside the block (quadratic per block —
+      fine when blocks are small and meaningful, e.g. per-source);
+    - ``block_col=None``: the standard **4-table word rotation** — by
+      pigeonhole, two signatures within Hamming distance ≤ 3 of each other
+      differ in at most 3 of the 4 words, so they agree EXACTLY on ≥ 1 word;
+      candidates are an equi-join on (word_index, word_value). This is the
+      100 TB path: one shuffle on a 4×2^16-way key, full recall for k ≤ 3,
+      no block column needed. Buckets above ``max_bucket`` (a word value
+      shared by that many docs — boilerplate) are dropped and bounded."""
     hashed = with_simhash(df, text_col=text_col).select(
         F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
+        *( [F.col(block_col).alias("_blk")] if block_col is not None else [] ),
         *[F.col(f"simhash_{w}") for w in range(4)],
-    )
-    a = hashed.select(
-        F.col("_blk"),
-        F.col("_id").alias("id_a"),
-        *[F.col(f"simhash_{w}").alias(f"ha_{w}") for w in range(4)],
-    )
-    b = hashed.select(
-        F.col("_blk"),
-        F.col("_id").alias("id_b"),
-        *[F.col(f"simhash_{w}").alias(f"hb_{w}") for w in range(4)],
-    )
-    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    ).localCheckpoint(eager=True)
+    # pinned: candidate branches and verification reuse the 64-aggregate
+    # signature computation instead of re-running it per self-join branch
+
     ham = None
     for w in range(4):
         term = F.bit_count(F.col(f"ha_{w}").bitwiseXOR(F.col(f"hb_{w}")))
         ham = term if ham is None else ham + term
+
+    if block_col is not None:
+        a = hashed.select(
+            "_blk", F.col("_id").alias("id_a"),
+            *[F.col(f"simhash_{w}").alias(f"ha_{w}") for w in range(4)],
+        )
+        b = hashed.select(
+            "_blk", F.col("_id").alias("id_b"),
+            *[F.col(f"simhash_{w}").alias(f"hb_{w}") for w in range(4)],
+        )
+        pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if max_hamming > 3:
+            raise ValueError(
+                "word-rotation candidates guarantee recall only for "
+                "max_hamming <= 3 with 4 words; pass a block_col for larger k"
+            )
+        words = hashed.select(
+            "_id",
+            F.posexplode(F.array(*[F.col(f"simhash_{w}") for w in range(4)])).alias("_w", "_v"),
+        )
+        sized = words.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("_w", "_v"))
+        ).filter(F.col("_bsz") <= max_bucket)
+        wa = sized.select("_w", "_v", F.col("_id").alias("id_a"))
+        wb = sized.select("_w", "_v", F.col("_id").alias("id_b"))
+        cand = (
+            wa.join(wb, ["_w", "_v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(
+            hashed.select(
+                F.col("_id").alias("id_a"),
+                *[F.col(f"simhash_{w}").alias(f"ha_{w}") for w in range(4)],
+            ),
+            "id_a",
+        ).join(
+            hashed.select(
+                F.col("_id").alias("id_b"),
+                *[F.col(f"simhash_{w}").alias(f"hb_{w}") for w in range(4)],
+            ),
+            "id_b",
+        )
     return (
         pairs.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)

@@ -104,3 +104,32 @@ def test_simhash_pairs_threshold(docs):
     res = simhash_pairs(docs, max_hamming=0).collect()
     got = {(r["id_a"], r["id_b"]) for r in res}
     assert got == {(1, 2), (5, 6)}
+
+
+def test_simhash_word_rotation_full_recall(spark):
+    """block_col=None: 4-table word rotation must find EVERY pair with
+    hamming <= 3 (pigeonhole: <=3 differing bits leave >=1 word identical) —
+    compare against the brute-force all-pairs result."""
+    from crawlee_spark.operators.dedup import simhash_pairs, with_simhash
+    from pyspark.sql import functions as F
+
+    rows = [(i, "blk", f"alpha beta gamma delta epsilon zeta token{i % 7} extra{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    rot = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, block_col=None, max_hamming=3).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, block_col="source", max_hamming=3).collect()
+    }
+    assert rot == brute  # identical pair set + distances, no block needed
+
+
+def test_simhash_rotation_rejects_large_k(spark):
+    from crawlee_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(df, block_col=None, max_hamming=4)
