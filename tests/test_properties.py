@@ -129,3 +129,45 @@ def test_registrable_domain_is_suffix(h):
     d = registrable_domain_py(h)
     if d and "." in h:
         assert h.lower().endswith(d.lower()) or d == h.lower()
+
+
+# ---------------------------------------------------------------------------
+# round-2: glob / pseudo-URL compilation properties (pure Python)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, strategies as st
+
+from crawlee_spark.operators.enqueue import glob_to_regex, purl_to_regex
+
+_literal_url = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789-._~:/"),
+    min_size=1,
+    max_size=40,
+).map(lambda s: "https://example.com/" + s)
+
+
+@given(_literal_url)
+def test_glob_literal_matches_itself(url):
+    """A glob with no metacharacters matches exactly its own string."""
+    jre = glob_to_regex(url).replace("(?i)", "")
+    assert _re.fullmatch(jre, url, _re.I)
+    assert not _re.fullmatch(jre, url + "x", _re.I)
+
+
+@given(_literal_url)
+def test_purl_literal_matches_itself_case_insensitively(url):
+    """A bracket-free PURL is a case-insensitive literal matcher."""
+    jre = purl_to_regex(url).replace("(?i)", "")
+    assert _re.fullmatch(jre, url.upper(), _re.I)
+    assert not _re.fullmatch(jre, url + "x", _re.I)
+
+
+@given(_literal_url, st.text(alphabet="abc/", min_size=0, max_size=10))
+def test_glob_doublestar_prefix(url, tail):
+    """'prefix**' admits any suffix including slashes; 'prefix*' stops at '/'."""
+    jre2 = glob_to_regex(url + "**").replace("(?i)", "")
+    assert _re.fullmatch(jre2, url + tail, _re.I)
+    jre1 = glob_to_regex(url + "*").replace("(?i)", "")
+    assert bool(_re.fullmatch(jre1, url + tail, _re.I)) == ("/" not in tail)
