@@ -153,7 +153,6 @@ def parse_sitemaps(
             break
         frontier = fetch_children(children)
     if out is None:
-        schema = SITEMAP_URL_SCHEMA
         raise ValueError("no sitemap contents supplied")
     return out
 
