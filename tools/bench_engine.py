@@ -36,7 +36,7 @@ def make_pages(spark, n: int):
     return spark.range(n).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
 
 
-def run(mor: bool, pages_n: int, rounds: int, cpus: int) -> dict:
+def run(mor: bool, pages_n: int, rounds: int, cpus: int, concurrency: int = 2_000) -> dict:
     from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
     from crawlee_spark.operators.enqueue import EnqueueOptions
     from crawlee_spark.operators.frontier import FrontierStore
@@ -56,7 +56,7 @@ def run(mor: bool, pages_n: int, rounds: int, cpus: int) -> dict:
         spark.read.parquet(pages_dir),
         # small claim vs large frontier: the regime where full-snapshot
         # rewrites hurt (each round touches ~2k of pages_n rows)
-        policy=PolitenessPolicy(max_concurrency=2_000, per_host_cap=2),
+        policy=PolitenessPolicy(max_concurrency=concurrency, per_host_cap=max(2, concurrency // 1000)),
         options=CrawlOptions(enqueue=EnqueueOptions(strategy="same-hostname"), max_rounds=rounds),
     )
     seeds = spark.range(pages_n).select(
@@ -93,9 +93,10 @@ def main():
     ap.add_argument("--pages", type=int, default=50_000)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--concurrency", type=int, default=2_000)
     args = ap.parse_args()
     for mor in (False, True):
-        print(json.dumps(run(mor, args.pages, args.rounds, args.cpus)))
+        print(json.dumps(run(mor, args.pages, args.rounds, args.cpus, args.concurrency)))
 
 
 if __name__ == "__main__":
