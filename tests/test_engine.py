@@ -386,3 +386,83 @@ def test_request_handler_timeout(spark, tmp_store_dir):
         spark.createDataFrame([("https://x.com/slow",), ("https://x.com/fast",)], "url string")
     )
     assert stats2["requestsFinished"] == 2
+
+
+def test_kitchen_sink_integration(spark, tmp_store_dir):
+    """All engine features in ONE crawl: session pool + robots + per-pattern
+    labels + budget + depth + blocked page + handler timeout + charset —
+    features tested in isolation must compose without interference."""
+    from crawlee_spark.operators.enqueue import UrlPattern
+    from crawlee_spark.operators.sessions import SessionPolicy
+
+    challenge = (
+        '<html><body><div id="turnstile-wrapper">'
+        '<iframe src="https://challenges.cloudflare.com/t"></iframe></div></body></html>'
+    ).encode()
+    link_page = (
+        '<html><body><a href="/detail/1">d</a><a href="/blocked">b</a>'
+        '<a href="/private/x">p</a><a href="/slow">s</a></body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/start", link_page, 200, "text/html", 10),
+            ("https://a.com/detail/1", "<p>détail</p>".encode("iso-8859-1"),
+             200, "text/html; charset=ISO-8859-1", 10),
+            ("https://a.com/blocked", challenge, 200, "text/html", 10),
+            ("https://a.com/private/x", b"<p>private</p>", 200, "text/html", 10),
+            ("https://a.com/slow", b"<p>slow</p>", 200, "text/html", 99_000),
+        ],
+        "url string, html binary, status_code int, content_type string, handler_ms long",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\n")], "host string, robots_txt string"
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4, bloom_buckets=4)
+    engine = CrawlEngine(
+        spark, store, pages, robots=robots,
+        policy=PolitenessPolicy(max_concurrency=10, per_host_cap=10, salt_buckets=4),
+        options=CrawlOptions(
+            max_rounds=8,
+            max_request_retries=1,
+            max_session_rotations=1,
+            max_requests_per_crawl=10,
+            max_crawl_depth=2,
+            request_handler_timeout_secs=1.0,
+            enqueue=EnqueueOptions(
+                strategy="same-hostname",
+                patterns=(
+                    UrlPattern(glob="**/detail/**", label="DETAIL"),
+                    UrlPattern(glob="**", label="OTHER"),
+                ),
+            ),
+        ),
+        session_policy=SessionPolicy(max_pool_size=4),
+    )
+    stats = engine.run(spark.createDataFrame([("https://a.com/start",)], "url string"))
+
+    rows = {r["url"]: r for r in store.read().collect()}
+    # pattern labels landed
+    assert rows["https://a.com/detail/1"]["label"] == "DETAIL"
+    assert rows["https://a.com/blocked"]["label"] == "OTHER"
+    # robots kept /private out of the frontier entirely
+    assert "https://a.com/private/x" not in rows
+    # charset page extracted byte-identically
+    res = {r["url"]: r["text"] for r in engine.results().collect()}
+    assert res["https://a.com/detail/1"] == "détail"
+    # blocked page rotated once then retried/failed, never a result
+    assert "https://a.com/blocked" not in res
+    outs = [r for r in engine.outcomes().collect() if r["url"] == "https://a.com/blocked"]
+    assert any(o["outcome"] == "session_retry" for o in outs)
+    # slow page timed out (retryable) and failed after 1 retry
+    slow = sorted(
+        (r for r in engine.outcomes().collect() if r["url"] == "https://a.com/slow"),
+        key=lambda r: r["round_id"],
+    )
+    assert [o["outcome"] for o in slow] == ["retry", "fail"]
+    assert "timed out" in slow[0]["error_message"]
+    # sessions were assigned from the pool
+    assert all(r["session_id"] for r in engine.outcomes().collect())
+    # budget respected and counters consistent
+    assert store._manifest["total_requests"] <= 10
+    assert store.info() == store.info(exact=True)
+    assert stats["requestsFinished"] >= 2  # start + detail
