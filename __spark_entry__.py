@@ -522,6 +522,32 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl output feeding the curation pipeline in ONE plan: synthesized
+    pages → byte-identical htmlToText (E2) → quality/lang features over the
+    EXTRACTED text → per-(source, lang) rollup. The shape of a production
+    crawl-to-training-data job; every stage is an already-verified operator
+    composed without materialization boundaries."""
+    uni = _url_universe(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    extracted = uni.select("doc_id", "source", html_to_text_udf(html).alias("etext"))
+    t = F.col("etext")
+    feats = extracted.select(
+        "source",
+        TA.quality_score_col(t).alias("quality"),
+        TA.lang_id_col(t).alias("lang_pred"),
+        TA.bpe_ish_token_count_col(t).alias("bpe_tokens"),
+    )
+    return feats.groupBy("source", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("quality").alias("sum_quality"),
+        F.sum("bpe_tokens").alias("sum_bpe_tokens"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -696,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "corpus_curation": q_corpus_curation,
+        "crawl_quality_rollup": q_crawl_quality_rollup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1231,6 +1258,47 @@ SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
 FROM scored WHERE quality >= 40 GROUP BY source, lang_pred
 """,
         "multimodal_decode": decode_sql,
+        "crawl_quality_rollup": f"""
+WITH ext AS (
+  SELECT doc_id, source,
+    'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS et
+  FROM documents
+),
+t AS (
+  SELECT source,
+    CASE WHEN trim(et) = '' THEN [] ELSE regexp_split_to_array(trim(et), '\\s+') END AS toks,
+    et
+  FROM ext
+),
+feat AS (
+  SELECT source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(et, '{bpe}')) AS BIGINT) AS bpe_tokens,
+    CAST(len(list_filter(toks, x -> lower(x) IN ({stop}))) AS BIGINT) AS stopword_cnt,
+    CASE WHEN len(toks) > 0
+      THEN CAST(floor(list_reduce(list_concat([0], list_transform(toks, x -> len(x))), (a, b) -> a + b) * 1000 / len(toks)) AS BIGINT)
+      ELSE 0 END AS mean_token_len_e3,
+    {_lang_hits_sql()}
+  FROM t
+),
+scored AS (
+  SELECT source, bpe_tokens,
+    CAST(floor(least(n_tokens, 200) * 40 / 200)
+       + floor(least(CASE WHEN n_tokens > 0 THEN floor(stopword_cnt * 100 / n_tokens) ELSE 0 END, 10) * 30 / 10)
+       + CASE WHEN mean_token_len_e3 BETWEEN 3000 AND 10000 THEN 30 ELSE 0 END AS BIGINT) AS quality,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_pred
+  FROM feat
+)
+SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(quality) AS BIGINT) AS sum_quality,
+  CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens
+FROM scored GROUP BY source, lang_pred
+""",
         "ann_cosine_topk": ann_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": ivf_sql,
