@@ -133,3 +133,47 @@ def test_mor_resume_with_outstanding_deltas(spark, tmp_store_dir):
     store2 = FrontierStore(spark, tmp_store_dir, num_partitions=4, merge_on_read=True)
     assert store2._manifest["deltas"] == store._manifest["deltas"]
     assert snapshot_of(store2) == expect
+
+
+def test_mid_round_crash_recovers(spark, tmp_store_dir):
+    """Crash AFTER the lease delta but BEFORE the outcome delta: the resumed
+    engine's next round sees the crashed round's leases as expired
+    (lease_until < round_id) and re-claims the rows — nothing is stuck."""
+    from crawlee_spark.operators.frontier import FRONTIER_SCHEMA, STATE_BEFORE_NAV
+    from crawlee_spark.operators.scheduler import claim_round
+    from crawlee_spark.sources.fixtures import make_pages, make_seeds
+
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4, compact_every=100)
+    engine = CrawlEngine(
+        spark, store, make_pages(spark, n_pages=12),
+        policy=PolitenessPolicy(max_concurrency=16, per_host_cap=8),
+        options=CrawlOptions(enqueue=EnqueueOptions(strategy="all"), max_rounds=10),
+    )
+    engine.add_seeds(make_seeds(spark, n=4))
+
+    # replicate run_round's first half by hand: claim + lease-delta commit,
+    # then "crash" (no outcome delta ever written)
+    crash_round = store.round + 1
+    claimed = claim_round(store.read(), crash_round, engine.policy)
+    leased = (
+        claimed.withColumn("lease_until", F.lit(crash_round).cast("long"))
+        .withColumn("state", F.lit(STATE_BEFORE_NAV))
+        .withColumn("round_id", F.lit(crash_round))
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    )
+    store.commit_delta(leased, round_increment=True)
+    n_leased = store.read().filter(F.col("lease_until").isNotNull()).count()
+    assert n_leased > 0  # the crash left in-flight rows behind
+
+    # resume: a fresh engine over the same dir finishes the crawl
+    store2 = FrontierStore(spark, tmp_store_dir, num_partitions=4, compact_every=100)
+    engine2 = CrawlEngine(
+        spark, store2, make_pages(spark, n_pages=12),
+        policy=PolitenessPolicy(max_concurrency=16, per_host_cap=8),
+        options=CrawlOptions(enqueue=EnqueueOptions(strategy="all"), max_rounds=10),
+    )
+    engine2.run(None)
+    final = store2.read()
+    assert final.filter(F.col("handled_at").isNull()).count() == 0  # nothing stuck
+    assert final.filter(F.col("lease_until").isNotNull()).count() == 0
+    assert store2.info() == store2.info(exact=True)  # counters survived the crash
