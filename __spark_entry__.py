@@ -699,6 +699,56 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global rank (scheduler.global_row_number — the engine's
+    parent-rank kernel, VERDICT r2 item 5): range-partition + per-partition
+    row_number + offsets, NO single-task window; ranks documents by a
+    scrambled unique key."""
+    from crawlee_spark.operators.scheduler import global_row_number
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("sort_key")
+    )
+    return global_row_number(docs, "sort_key", col_name="rank", partitions=16).select(
+        "doc_id", "sort_key", "rank"
+    )
+
+
+def q_session_cookies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 cookie jars (session.ts:341-345 setCookiesFromResponse): raw
+    Set-Cookie headers parsed, upserted per (session, name) with
+    latest-response-wins, jar rendered as a canonical Cookie-header string.
+    Headers are synthesized deterministically from events."""
+    from crawlee_spark.operators.sessions import parse_set_cookie_entries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hdr = F.array(
+        F.concat(
+            F.lit("c"), (F.col("event_id") % 5).cast("string"),
+            F.lit("=v"), (F.col("event_id") % 7).cast("string"),
+            F.lit("; Path=/; HttpOnly"),
+        )
+    )
+    rows = ev.select(
+        (F.col("user_id") % 16).alias("session_id"),
+        F.col("event_id").alias("ord"),
+        hdr.alias("set_cookie"),
+    )
+    ent = rows.select(
+        "session_id", "ord",
+        F.posexplode(parse_set_cookie_entries("set_cookie")).alias("pos", "e"),
+    )
+    latest = ent.groupBy("session_id", F.col("e.name").alias("name")).agg(
+        F.max_by(F.col("e.value"), F.struct("ord", "pos")).alias("value")
+    )
+    return latest.groupBy("session_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.concat_ws("=", "name", "value"))), "; "
+        ).alias("cookie_header"),
+        F.count("*").alias("n_cookies"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_keying": q_url_keying,
@@ -735,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": q_anti_join_inactive,
         "window_segment_head": q_window_segment_head,
         "events_sessionize": q_events_sessionize,
+        "global_rank": q_global_rank,
+        "session_cookies": q_session_cookies,
     }
 
 
@@ -1361,5 +1413,33 @@ WITH flagged AS (
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
 FROM flagged GROUP BY user_id
+""",
+        "global_rank": """
+SELECT doc_id,
+  md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rank
+FROM documents
+""",
+        # constructive oracle: the SQL side builds (name, value) directly from
+        # the same deterministic recipe instead of re-parsing the Set-Cookie
+        # header text (the Spark side exercises the real parse kernel,
+        # attributes like Path/HttpOnly stripped)
+        "session_cookies": """
+WITH raw AS (
+  SELECT user_id % 16 AS session_id, event_id AS ord,
+    'c' || CAST(event_id % 5 AS VARCHAR) AS name,
+    'v' || CAST(event_id % 7 AS VARCHAR) AS value
+  FROM events
+),
+latest AS (
+  SELECT session_id, name, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY session_id, name ORDER BY ord DESC) AS rn
+    FROM raw
+  ) WHERE rn = 1
+)
+SELECT session_id,
+  string_agg(name || '=' || value, '; ' ORDER BY name || '=' || value) AS cookie_header,
+  CAST(count(*) AS BIGINT) AS n_cookies
+FROM latest GROUP BY session_id
 """,
     }

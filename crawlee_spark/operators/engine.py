@@ -33,7 +33,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from crawlee_spark.functions.html_text import extract_page_udf
 from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
@@ -46,7 +45,11 @@ from crawlee_spark.operators.frontier import (
     FrontierStore,
     candidates_to_requests,
 )
-from crawlee_spark.operators.scheduler import PolitenessPolicy, claim_round
+from crawlee_spark.operators.scheduler import (
+    PolitenessPolicy,
+    claim_round,
+    global_row_number,
+)
 from crawlee_spark.operators.stats import OUTCOME_SCHEMA, final_statistics
 
 BLOCKED_STATUS_CODES = (401, 403, 429)  # session_pool/consts.ts:1
@@ -175,11 +178,15 @@ class CrawlEngine:
             )
         return self.spark.read.parquet(self.sessions_dir)
 
-    def _update_sessions(self, outcomes_with_sessions: DataFrame, round_id: int) -> None:
+    def _update_sessions(
+        self, outcomes_with_sessions: DataFrame, round_id: int, **update_kwargs
+    ) -> None:
         from crawlee_spark.operators.sessions import replenish_pool, update_pool
 
         pool = self.session_pool()
-        updated = update_pool(pool, outcomes_with_sessions, self.session_policy)
+        updated = update_pool(
+            pool, outcomes_with_sessions, self.session_policy, **update_kwargs
+        )
         updated = replenish_pool(self.spark, updated, round_id, self.session_policy)
         updated = updated.localCheckpoint(eager=True)  # pin before overwrite
         updated.write.mode("overwrite").parquet(self.sessions_dir)
@@ -326,8 +333,12 @@ class CrawlEngine:
             .otherwise(F.lit("success")),
         ).withColumn(
             "_error",
-            F.when(F.col("_outcome").isin("success", "skip_redirect"), F.lit(None).cast("string"))
-            .when(~F.col("_robots_ok"), F.lit("Skipped by robots.txt"))
+            # robots skips carry no error: the reference logs a warning and
+            # never calls pushErrorMessage (basic-crawler.ts:1626-1638)
+            F.when(
+                F.col("_outcome").isin("success", "skip_redirect", "skip_robots"),
+                F.lit(None).cast("string"),
+            )
             .when(F.col("html").isNull(), F.lit("Fetch failed: page not found in source"))
             .when(
                 (F.col("status_code") < 400) & self._handler_timeout_pred(),
@@ -406,10 +417,18 @@ class CrawlEngine:
         r_hi = max((int(r["hi"]) for r in reclaim_rows), default=0)
         r_span = (r_hi - r_lo + 1) if n_reclaims else 0
 
-        # redirect-skips go to the skipped side-output (reason 'redirect')
+        # skip side-outputs (F8 handleSkippedRequest): redirect-strategy skips
+        # (reason 'redirect') and fetch-time robots skips (reason 'robotsTxt',
+        # basic-crawler.ts:1626-1638 — SKIPPED + handled, never failed)
         (
-            classified.filter(F.col("_outcome") == "skip_redirect")
-            .select("url", F.lit("redirect").alias("reason"), F.lit(round_id).alias("round_id"))
+            classified.filter(F.col("_outcome").isin("skip_redirect", "skip_robots"))
+            .select(
+                "url",
+                F.when(F.col("_outcome") == "skip_robots", F.lit("robotsTxt"))
+                .otherwise(F.lit("redirect"))
+                .alias("reason"),
+                F.lit(round_id).alias("round_id"),
+            )
             .write.mode("append")
             .parquet(self.skipped_dir)
         )
@@ -434,22 +453,31 @@ class CrawlEngine:
         )
 
         # ---- discovered links → gate → enqueue
-        # parent rank: dense 1..|succ| by order_no — a window over the claimed
-        # set only (bounded by max_concurrency per round, never frontier-sized)
-        w_parent = Window.orderBy("order_no")
-        links = (
-            extracted.withColumn("_parent_rank", F.row_number().over(w_parent))
-            .select(
-                F.col("url").alias("origin_url"),
-                F.col("_parent_rank"),
-                (F.col("crawl_depth") + 1).alias("crawl_depth"),
-                F.posexplode_outer("_links").alias("_pos", "url"),
-            )
-            .filter(F.col("url").isNotNull())
-        )
         new_enqueued = 0
         fresh_rows = None
         if n_links:
+            # parent rank: dense 1..|succ| by order_no. Two-phase global rank
+            # (range-partition + per-partition row_number + offsets) over the
+            # NARROW (order_no) projection — an unpartitioned window here
+            # would funnel the whole html-bearing frame through ONE task at a
+            # 512k-claim round — then broadcast-joined back on the unique
+            # order_no (≤ max_concurrency rows, trivially broadcastable).
+            ranks = global_row_number(
+                extracted.select("order_no"),
+                "order_no",
+                col_name="_parent_rank",
+                partitions=self.store.num_partitions,
+            )
+            links = (
+                extracted.join(F.broadcast(ranks), "order_no")
+                .select(
+                    F.col("url").alias("origin_url"),
+                    F.col("_parent_rank"),
+                    (F.col("crawl_depth") + 1).alias("crawl_depth"),
+                    F.posexplode_outer("_links").alias("_pos", "url"),
+                )
+                .filter(F.col("url").isNotNull())
+            )
             if self.robots is not None:
                 links = links.join(
                     self._robots.withColumnRenamed("host", "_rhost"),
@@ -495,14 +523,16 @@ class CrawlEngine:
             # no extra job for the metric
             new_enqueued = self.store._manifest["total_requests"] - total_before
 
-        # ---- outcomes log append
-        attempt_rows = classified.select(
+        # ---- outcomes log append. Robots skips never reach the log: the
+        # reference returns BEFORE stats.startJob (basic-crawler.ts:1626-1638),
+        # so they appear in no Statistics series — only in the skipped
+        # side-output and the queue's handled count.
+        attempt_rows = classified.filter(F.col("_outcome") != "skip_robots").select(
             "request_id",
             "url",
             F.lit(round_id).alias("round_id"),
             F.col("retry_count").alias("attempt"),
-            F.when(F.col("_outcome") == "skip_robots", F.lit("fail"))
-            .when(F.col("_outcome") == "skip_redirect", F.lit("success"))  # handled+finished
+            F.when(F.col("_outcome") == "skip_redirect", F.lit("success"))  # handled+finished
             .otherwise(F.col("_outcome"))
             .alias("outcome"),
             F.col("status_code").cast("int").alias("status_code"),
@@ -512,14 +542,35 @@ class CrawlEngine:
         )
         attempt_rows.write.mode("append").parquet(self.outcomes_dir)
         if self.session_policy is not None:
-            self._update_sessions(attempt_rows.select("session_id", "outcome"), round_id)
+            # C6 reputation + cookie jars: when the source carries raw
+            # Set-Cookie headers (array<string> ``set_cookie``), each
+            # session's jar absorbs this round's cookies in request order
+            # (session.ts:341-345) and persists with the pool.
+            outcome_expr = (
+                F.when(F.col("_outcome") == "skip_redirect", F.lit("success"))
+                .otherwise(F.col("_outcome"))
+                .alias("outcome")
+            )
+            sess_cols = [F.col("session_id"), outcome_expr]
+            kw = {}
+            if "set_cookie" in classified.columns:
+                sess_cols += [F.col("set_cookie"), F.abs(F.col("order_no")).alias("_ord")]
+                kw = {"cookie_col": "set_cookie", "order_col": "_ord"}
+            self._update_sessions(
+                classified.filter(F.col("_outcome") != "skip_robots").select(*sess_cols),
+                round_id,
+                **kw,
+            )
 
         # ---- O(1) counter maintenance from the fused round aggregate:
         # the manifest's handled/failed totals advance atomically with the
         # outcome delta below. Monitoring and budgets read these counters
         # instead of scanning the frontier.
+        # skip_robots increments handled (markRequestHandled) but NOT failed:
+        # the reference treats a fetch-time robots skip as handled-skipped,
+        # never as a failed request (basic-crawler.ts:1626-1638)
         handled_inc = sum(cnts.get(o, 0) for o in ("success", "skip_redirect", "fail", "skip_robots"))
-        failed_inc = sum(cnts.get(o, 0) for o in ("fail", "skip_robots"))
+        failed_inc = cnts.get("fail", 0)
         counter_extra = {
             "handled_total": self.store._manifest["handled_total"] + handled_inc,
             "failed_total": self.store._manifest["failed_total"] + failed_inc,
@@ -571,10 +622,13 @@ class CrawlEngine:
         new_seq_base = self.store.order_seq
 
         is_success = F.col("_outcome") == "success"
-        is_skipped = F.col("_outcome") == "skip_redirect"  # handled, state SKIPPED
+        # handled, state SKIPPED, noRetry, NOT failed — both the redirect-
+        # strategy skip and the fetch-time robots skip finalize this way
+        # (basic-crawler.ts:1626-1638 / 2124-2168)
+        is_skipped = F.col("_outcome").isin("skip_redirect", "skip_robots")
         is_retry = F.col("_outcome") == "retry"
         is_session_retry = F.col("_outcome") == "session_retry"
-        is_fail = F.col("_outcome").isin("fail", "skip_robots")
+        is_fail = F.col("_outcome") == "fail"
         is_reclaim = is_retry | is_session_retry
 
         rseq = F.lit(new_seq_base) + (F.abs(F.col("order_no")) - F.lit(r_lo)) + 1

@@ -167,6 +167,11 @@ class FrontierStore:
     # tiny tables and the equivalence test.
     merge_on_read: bool = True
     compact_every: int = 8  # deltas per base rewrite
+    # MOR reads anti-join the base against the outstanding delta ids; the ids
+    # are O(claimed+fresh) so they broadcast. Above this many outstanding
+    # delta rows the read falls back to a shuffled anti-join (pathological —
+    # compact_every bounds outstanding deltas long before this).
+    delta_broadcast_max_rows: int = 4_000_000
     _manifest: dict = field(default_factory=dict, repr=False)
 
     MANIFEST = "manifest.json"
@@ -178,6 +183,7 @@ class FrontierStore:
             with open(path) as f:
                 self._manifest = json.load(f)
             self._manifest.setdefault("deltas", [])
+            self._manifest.setdefault("delta_rows", {})
             self._manifest.setdefault("handled_total", 0)
             self._manifest.setdefault("failed_total", 0)
         else:
@@ -190,6 +196,7 @@ class FrontierStore:
                 "total_requests": 0,
                 "history": [],
                 "deltas": [],  # MOR delta seqs since the last base snapshot
+                "delta_rows": {},  # seq (str) -> row count, for broadcast sizing
             }
 
     # -- manifest helpers ---------------------------------------------------
@@ -218,14 +225,21 @@ class FrontierStore:
     def read(self, columns: list[str] | None = None) -> DataFrame:
         """Current frontier (empty frame before the first commit).
 
-        With merge-on-read: base snapshot ∪ delta files, last-writer-wins per
-        request_id by delta sequence — one map-side-combinable ``max_by``
-        per read, the standard MOR merge. Reads get slower as deltas pile
-        up; ``compact_every`` bounds that by rewriting the base.
+        With merge-on-read the merge NEVER shuffles the base: last-writer-wins
+        is resolved among the deltas alone (they are O(claimed+fresh) rows —
+        a small ``max_by`` by delta sequence), and the base is merged as
 
-        ``columns`` prunes the merge: the MOR max_by struct otherwise carries
-        every column, defeating parquet column pruning — monitoring reads
-        (counters, is_finished) should pass just what they need."""
+            base LEFT ANTI JOIN broadcast(delta_ids)  ∪  resolved_deltas
+
+        — a map-only scan of the base. The previous shape
+        (``groupBy(request_id).max_by(struct(*))`` over base ∪ deltas)
+        shuffled the ENTIRE wide frontier on every read: ~2 TB per round at a
+        10^10-row frontier just to read the claim set. If outstanding delta
+        rows exceed ``delta_broadcast_max_rows`` (pathological — compaction
+        bounds deltas) the anti-join falls back to a shuffle, still correct.
+
+        ``columns`` prunes the merge so monitoring reads (counters,
+        is_finished) keep parquet column pruning."""
         snap = self._manifest["snapshot"]
         deltas = self._manifest.get("deltas", [])
         want = None
@@ -234,25 +248,37 @@ class FrontierStore:
         if snap < 0 and not deltas:
             empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
             return empty.select(*want) if want else empty
-        parts = []
+        base = None
         if snap >= 0:
-            p = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._snapshot_dir(snap))
-            parts.append((p.select(*want) if want else p).withColumn("_cseq", F.lit(-1).cast("long")))
+            base = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._snapshot_dir(snap))
+            if want:
+                base = base.select(*want)
+        merged = None
         for seq in deltas:
             p = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._delta_dir(seq))
-            parts.append((p.select(*want) if want else p).withColumn("_cseq", F.lit(seq).cast("long")))
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        if len(parts) == 1:
-            return merged.drop("_cseq")
-        payload = [c for c in merged.columns if c != "request_id"]
-        return (
-            merged.groupBy("request_id")
-            .agg(F.max_by(F.struct(*payload), F.col("_cseq")).alias("_row"))
-            .select("request_id", "_row.*")
-            .drop("_cseq")
-        )
+            p = (p.select(*want) if want else p).withColumn("_cseq", F.lit(seq).cast("long"))
+            merged = p if merged is None else merged.unionByName(p)
+        if merged is not None:
+            if len(deltas) > 1:
+                # ids can repeat ACROSS deltas (claim delta then outcome
+                # delta); within one delta they are unique, so a single
+                # outstanding delta needs no resolution at all
+                payload = [c for c in merged.columns if c != "request_id"]
+                merged = (
+                    merged.groupBy("request_id")
+                    .agg(F.max_by(F.struct(*payload), F.col("_cseq")).alias("_row"))
+                    .select("request_id", "_row.*")
+                )
+            merged = merged.drop("_cseq")
+        if merged is None:
+            return base
+        if base is None:
+            return merged
+        ids = merged.select("request_id")
+        outstanding = sum(self._manifest.get("delta_rows", {}).values())
+        if outstanding <= self.delta_broadcast_max_rows:
+            ids = F.broadcast(ids)
+        return base.join(ids, "request_id", "left_anti").unionByName(merged)
 
     def filters(self) -> DataFrame:
         """Per-bucket Bloom filters covering the CURRENT frontier
@@ -260,8 +286,11 @@ class FrontierStore:
 
         A delta commit never triggers a rebuild: the missing deltas' ids are
         OR-merged into the previous filter version (O(delta), the Iceberg
-        discipline) and written as a new immutable version; only a snapshot
-        change (compaction / bootstrap) rebuilds from the full seen-set.
+        discipline) and written as a new immutable version. Compaction does
+        not rebuild either — ids are never deleted, so ``commit_delta``
+        re-points the carried version at the new snapshot; only bootstrap
+        (or an out-of-band ``commit``, e.g. ``add_requests``) rebuilds from
+        the full seen-set.
         The version pointer lives in the manifest (``filters_state``) and is
         advanced only after the files exist, so a crash mid-maintenance just
         redoes the idempotent merge."""
@@ -360,6 +389,7 @@ class FrontierStore:
         for seq in self._manifest.get("deltas", []):
             shutil.rmtree(self._delta_dir(seq), ignore_errors=True)
         self._manifest["deltas"] = []
+        self._manifest["delta_rows"] = {}
         self._write_manifest()
         # retire old snapshots beyond a small retention window
         keep_from = snap - 3
@@ -392,6 +422,7 @@ class FrontierStore:
         if extra:
             self._manifest.update(extra)
         n_changed = self.spark.read.parquet(out_dir).count()
+        self._manifest.setdefault("delta_rows", {})[str(seq)] = n_changed
         self._manifest["history"].append(
             {
                 "delta": seq,
@@ -401,8 +432,24 @@ class FrontierStore:
             }
         )
         if len(deltas) >= self.compact_every:
-            # compaction: one full rewrite absorbs the deltas (commit clears them)
-            return self.commit(self.read())
+            # compaction: one full rewrite absorbs the deltas (commit clears
+            # them). Bloom filters survive compaction unchanged — request_ids
+            # are never deleted, so the incrementally OR-merged filter version
+            # still covers exactly the compacted table: bring it current over
+            # any missing deltas (O(delta) merge), remember it, and re-point
+            # it at the new snapshot instead of triggering a full-table
+            # rebuild on the next filters() call.
+            carried = None
+            if self.bloom_buckets:
+                self.filters()  # O(missing-deltas) incremental merge
+                carried = self._manifest["filters_state"]["version"]
+            snap = self.commit(self.read())
+            if carried is not None:
+                self._manifest["filters_state"] = {
+                    "snapshot": snap, "deltas": [], "version": carried,
+                }
+                self._write_manifest()
+            return snap
         self._write_manifest()
         return self._manifest["snapshot"]
 

@@ -94,6 +94,50 @@ def per_key_topk(
     return partial.withColumn("_rank", F.row_number().over(w2)).filter(F.col("_rank") <= k)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    *,
+    col_name: str = "_rank",
+    partitions: int = 32,
+) -> DataFrame:
+    """Global 1-based rank by ``order_col`` (values must be unique) without a
+    single-task sort.
+
+    ``row_number().over(Window.orderBy(...))`` funnels the WHOLE frame
+    through one task — fine at 200 rows, a serialization point at a
+    512k-claim round. Two phases instead: range-partition on the order
+    column, rank within each partition in parallel, then add per-partition
+    offsets (one count-per-partition job, ≤ ``partitions`` rows collected).
+
+    Because order values are unique, the resulting rank is a pure function
+    of the data — independent of where Spark's sampled range boundaries
+    land — so it is deterministic across runs/resumes even though
+    ``repartitionByRange`` samples with an RDD-id-derived seed. (With ties
+    it would NOT be; callers must rank a unique column.)
+    """
+    parted = (
+        df.repartitionByRange(partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin: offsets must match the ranked frame
+    )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return parted.drop("_pid").withColumn(col_name, F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return parted.withColumn(
+        col_name, (F.row_number().over(w) + off[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+
+
 def claim_round(
     frontier: DataFrame,
     round_id: int,

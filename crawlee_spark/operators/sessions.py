@@ -31,8 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 SESSION_SCHEMA = (
-    "session_id string, created_round int, usage_count long, error_score double, retired boolean"
+    "session_id string, created_round int, usage_count long, error_score double, "
+    "retired boolean, cookies map<string,string>"
 )
+
+_COOKIE_MAP_T = "map<string,string>"
 
 
 @dataclass(frozen=True)
@@ -45,14 +48,43 @@ class SessionPolicy:
 
 
 def make_pool(spark: SparkSession, size: int, round_id: int = 0) -> DataFrame:
-    """Create ``size`` fresh sessions (ids are deterministic)."""
+    """Create ``size`` fresh sessions (ids are deterministic; cookie jars
+    start empty — session.ts:173 ``cookieJar = new CookieJar()``)."""
     return spark.range(size).select(
         F.concat(F.lit(f"session_r{round_id}_"), F.col("id").cast("string")).alias("session_id"),
         F.lit(round_id).cast("int").alias("created_round"),
         F.lit(0).cast("long").alias("usage_count"),
         F.lit(0.0).alias("error_score"),
         F.lit(False).alias("retired"),
+        F.create_map().cast(_COOKIE_MAP_T).alias("cookies"),
     )
+
+
+def parse_set_cookie_entries(col) -> "F.Column":
+    """``array<raw Set-Cookie header>`` → ``array<struct<name,value>>``.
+
+    The reference parses response Set-Cookie headers into its tough-cookie
+    jar (session.ts:341-345 ``setCookiesFromResponse`` →
+    ``getCookiesFromResponse``); here the name=value pair before the first
+    ``;`` is kept (attributes like Path/Expires are jar bookkeeping the
+    batch model does not replay) and malformed headers are dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def entry(h):
+        return F.struct(
+            F.regexp_extract(h, r"^\s*([^=;\s]+)=", 1).alias("name"),
+            F.trim(F.regexp_extract(h, r"^\s*[^=;\s]+=([^;]*)", 1)).alias("value"),
+        )
+
+    return F.filter(F.transform(c, entry), lambda e: e["name"] != "")
+
+
+def merge_cookie_maps(old, new) -> "F.Column":
+    """Jar semantics for a round of updates: keys in ``new`` overwrite, the
+    rest of ``old`` carries over (tough-cookie setCookieSync upsert)."""
+    o = F.coalesce(F.col(old) if isinstance(old, str) else old, F.create_map().cast(_COOKIE_MAP_T))
+    n = F.coalesce(F.col(new) if isinstance(new, str) else new, F.create_map().cast(_COOKIE_MAP_T))
+    return F.map_zip_with(o, n, lambda _, a, b: F.coalesce(b, a))
 
 
 def usable_sessions(pool: DataFrame, round_id: int, policy: SessionPolicy) -> DataFrame:
@@ -71,8 +103,14 @@ def assign_sessions(
     """Attach a ``session_id`` to each claimed request.
 
     Deterministic rotation: rank the usable pool once (tiny — ≤1000 rows,
-    broadcast), pick index ``xxhash64(request_id, round) mod |usable|``."""
-    usable = usable_sessions(pool, round_id, policy).select("session_id")
+    broadcast), pick index ``xxhash64(request_id, round) mod |usable|``.
+    When the pool carries cookie jars, the assigned session's jar rides
+    along as ``session_cookies`` (the ``session.getCookies`` surface a
+    fetch stage would turn into a Cookie header)."""
+    cols = ["session_id"] + (
+        [F.col("cookies").alias("session_cookies")] if "cookies" in pool.columns else []
+    )
+    usable = usable_sessions(pool, round_id, policy).select(*cols)
     indexed = usable.withColumn(
         "_idx", F.row_number().over(Window.orderBy("session_id")) - 1
     )
@@ -92,6 +130,8 @@ def update_pool(
     *,
     session_col: str = "session_id",
     outcome_col: str = "outcome",
+    cookie_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply one round of outcomes to the pool (set-wise markGood/markBad/retire).
 
@@ -99,7 +139,13 @@ def update_pool(
     {success, retry, fail, session_retry}. ``session_retry`` (a blocked
     status code) maps to ``retire`` — errorScore += maxErrorScore
     (session.ts:325-335 retireOnBlockedStatusCodes → retire); ``retry``/
-    ``fail`` map to markBad; ``success`` to markGood."""
+    ``fail`` map to markBad; ``success`` to markGood.
+
+    When ``cookie_col`` names an ``array<string>`` of raw Set-Cookie headers,
+    each session's jar absorbs them (session.ts:341-345
+    ``setCookiesFromResponse``): per (session, cookie-name) the LAST value in
+    ``order_col`` order wins — the set-wise analog of the reference's
+    sequential per-response upserts — and merged maps persist with the pool."""
     per_session = outcomes.groupBy(F.col(session_col).alias("session_id")).agg(
         F.count("*").alias("_uses"),
         F.sum(F.when(F.col(outcome_col) == "success", 1).otherwise(0)).alias("_good"),
@@ -109,6 +155,32 @@ def update_pool(
     joined = pool.join(per_session, "session_id", "left").fillna(
         {"_uses": 0, "_good": 0, "_bad": 0, "_retired": 0}
     )
+    has_cookies = "cookies" in pool.columns
+    cookies_out = []
+    if cookie_col is not None and cookie_col in outcomes.columns:
+        order = F.col(order_col) if order_col else F.lit(0).cast("long")
+        ent = outcomes.select(
+            F.col(session_col).alias("session_id"),
+            order.alias("_ord"),
+            F.posexplode(parse_set_cookie_entries(cookie_col)).alias("_pos", "_e"),
+        )
+        latest = ent.groupBy("session_id", F.col("_e.name").alias("_n")).agg(
+            F.max_by(F.col("_e.value"), F.struct(F.col("_ord"), F.col("_pos"))).alias("_v")
+        )
+        # sort_array keeps the map's entry order deterministic (one entry per
+        # name, so sorting the (name, value) structs is a total order)
+        new_maps = latest.groupBy("session_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("_n"), F.col("_v"))))
+            ).alias("_new_cookies")
+        )
+        joined = joined.join(new_maps, "session_id", "left")
+        cookies_out = [
+            merge_cookie_maps("cookies" if has_cookies else F.lit(None).cast(_COOKIE_MAP_T),
+                              "_new_cookies").alias("cookies")
+        ]
+    elif has_cookies:
+        cookies_out = [F.col("cookies")]
     new_score = F.greatest(
         F.lit(0.0),
         F.col("error_score")
@@ -122,6 +194,7 @@ def update_pool(
         (F.col("usage_count") + F.col("_uses")).alias("usage_count"),
         new_score.alias("error_score"),
         (F.col("retired") | (F.col("_retired") > 0)).alias("retired"),
+        *cookies_out,
     )
 
 

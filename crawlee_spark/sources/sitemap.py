@@ -24,14 +24,54 @@ No Python runs per row.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CHANGEFREQ_VALUES = ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
 
 SITEMAP_URL_SCHEMA = (
     "loc string, lastmod timestamp, changefreq string, priority double, origin_sitemap_url string"
 )
+
+
+@F.pandas_udf(T.StringType())
+def gunzip_body_udf(body: pd.Series) -> pd.Series:
+    """Gunzip-or-decode a sitemap body fetched as bytes.
+
+    Mirrors sitemap.ts:303-322: the reference sniffs the stream with
+    fileTypeStream (magic bytes override the Content-Type header) and pipes
+    through createGunzip() when gzipped. Here the gzip magic ``1f 8b``
+    decides; plain bodies are utf-8-decoded as-is. A corrupt gzip body falls
+    through to a raw decode, where the XML/TXT parsers then yield zero rows
+    (the reference surfaces a parser error and likewise emits no items)."""
+    import gzip
+
+    def one(x):
+        if x is None:
+            return None
+        if isinstance(x, str):
+            return x
+        bb = bytes(x)
+        if bb[:2] == b"\x1f\x8b":
+            try:
+                bb = gzip.decompress(bb)
+            except OSError:
+                pass
+        return bb.decode("utf-8", "replace")
+
+    return body.apply(one)
+
+
+def decompress_sitemap_bodies(df: DataFrame, *, body_col: str = "body") -> DataFrame:
+    """Normalize a sitemap-content frame's body column to decoded text:
+    BINARY bodies go through the gunzip/utf-8 kernel (``.gz`` sitemaps —
+    most large real-world sitemaps are gzipped), STRING bodies pass
+    through untouched."""
+    if isinstance(df.schema[body_col].dataType, T.BinaryType):
+        return df.withColumn(body_col, gunzip_body_udf(F.col(body_col)))
+    return df
 
 
 def _tag_text(block: Column, tag: str) -> Column:
@@ -116,28 +156,36 @@ def parse_sitemaps(
 
     The driver loop runs once per nesting level (sitemap indexes are
     shallow); each level's URL extraction is one distributed pass. Visited
-    dedup is a broadcast LEFT ANTI join against the seen frame — never an
-    ``isin`` literal list, which would inline a 10^5-sitemap index into the
-    expression tree."""
-    spark = contents.sparkSession
-    seen: set[str] = set()
+    dedup is a LEFT ANTI join against a ``seen`` DataFrame that never leaves
+    the cluster — no driver-side URL set (a 10^6-sitemap index would hold
+    ~100 MB on the driver) and never an ``isin`` literal list. Bodies may be
+    BINARY (gzipped sitemaps, sitemap.ts:303-322): they are gunzipped /
+    decoded before parsing, and ``.txt.gz`` paths parse as TXT."""
     out: DataFrame | None = None
-    frontier = contents
-
-    def _seen_df() -> DataFrame:
-        return spark.createDataFrame([(u,) for u in sorted(seen)], f"{url_col} string")
+    frontier: DataFrame | None = decompress_sitemap_bodies(contents, body_col=body_col)
+    seen: DataFrame | None = None  # (url_col) rows — a frame, not driver state
 
     for _ in range(max_depth + 1):
         if frontier is None:
             break
-        if seen:
-            frontier = frontier.join(F.broadcast(_seen_df()), url_col, "left_anti")
-        rows = frontier.select(url_col).distinct().collect()
-        batch = [r[url_col] for r in rows]
-        if not batch:
+        if seen is not None:
+            # defensive re-check: children are pre-filtered below, but
+            # fetch_children may return extra rows
+            frontier = frontier.join(seen, url_col, "left_anti")
+        # pin: this level's bodies feed BOTH the URL extraction and the
+        # child-index scan (and the decompress kernel should run once)
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
             break
-        seen.update(batch)
-        is_txt = F.col(url_col).endswith(".txt") | ~F.col(body_col).rlike(r"(?is)<(urlset|sitemapindex)[\s>]")
+        level_ids = frontier.select(url_col).distinct()
+        seen = (
+            level_ids
+            if seen is None
+            else seen.unionByName(level_ids).localCheckpoint(eager=True)
+        )
+        is_txt = F.col(url_col).rlike(r"\.txt(\.gz)?$") | ~F.col(body_col).rlike(
+            r"(?is)<(urlset|sitemapindex)[\s>]"
+        )
         xml_part = frontier.filter(~is_txt)
         txt_part = frontier.filter(is_txt)
         level_urls = parse_sitemap_xml(xml_part, xml_col=body_col, origin_col=url_col).unionByName(
@@ -145,13 +193,11 @@ def parse_sitemaps(
         )
         out = level_urls if out is None else out.unionByName(level_urls)
         children = parse_sitemap_index(xml_part, xml_col=body_col).join(
-            F.broadcast(_seen_df().withColumnRenamed(url_col, "sitemap_url")),
-            "sitemap_url",
-            "left_anti",
+            seen.withColumnRenamed(url_col, "sitemap_url"), "sitemap_url", "left_anti"
         )
         if children.isEmpty():
             break
-        frontier = fetch_children(children)
+        frontier = decompress_sitemap_bodies(fetch_children(children), body_col=body_col)
     if out is None:
         raise ValueError("no sitemap contents supplied")
     return out

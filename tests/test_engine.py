@@ -466,3 +466,65 @@ def test_kitchen_sink_integration(spark, tmp_store_dir):
     assert store._manifest["total_requests"] <= 10
     assert store.info() == store.info(exact=True)
     assert stats["requestsFinished"] >= 2  # start + detail
+
+
+def test_fetch_time_robots_skip_is_skipped_not_failed(spark, tmp_store_dir):
+    """A URL that passed the enqueue gate but is disallowed at FETCH time
+    (robots rules changed mid-crawl) finalizes as SKIPPED + handled with a
+    'robotsTxt' skipped side-output row — NOT as a failed request, and it
+    never reaches the Statistics outcome log (basic-crawler.ts:1626-1638:
+    state SKIPPED, noRetry, markRequestHandled, handleSkippedRequest;
+    stats.startJob is never called)."""
+    from crawlee_spark.operators.frontier import STATE_SKIPPED
+
+    pages = spark.createDataFrame(
+        [
+            ("https://x.com/allowed", b"<p>a</p>", 200, "text/html"),
+            ("https://x.com/private/p", b"<p>b</p>", 200, "text/html"),
+        ],
+        "url string, html binary, status_code int, content_type string",
+    )
+    # enqueue with no robots rules in force, then "the rules change"
+    engine0 = build_engine(spark, tmp_store_dir, pages)
+    engine0.add_seeds(
+        spark.createDataFrame(
+            [("https://x.com/allowed",), ("https://x.com/private/p",)], "url string"
+        )
+    )
+
+    robots = spark.createDataFrame(
+        [("x.com", "User-agent: *\nDisallow: /private/")], "host string, robots_txt string"
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4)
+    engine = CrawlEngine(
+        spark=spark,
+        store=store,
+        pages=pages,
+        robots=robots,
+        policy=PolitenessPolicy(max_concurrency=50, per_host_cap=10, salt_buckets=4),
+        options=CrawlOptions(max_rounds=4, enqueue=EnqueueOptions(strategy="all")),
+    )
+    stats = engine.run(None)
+
+    rows = {r["url"]: r for r in store.read().collect()}
+    skipped_row = rows["https://x.com/private/p"]
+    assert skipped_row["state"] == STATE_SKIPPED
+    assert skipped_row["handled_at"] is not None
+    assert not skipped_row["failed"]
+    assert skipped_row["no_retry"]
+    assert not skipped_row["error_messages"]  # no pushErrorMessage for skips
+
+    sk = [(s["url"], s["reason"]) for s in engine.skipped().collect()]
+    assert sk == [("https://x.com/private/p", "robotsTxt")]
+
+    # FinalStatistics: the skip is neither finished nor failed, and the
+    # request never appears in the outcome log at all
+    assert stats["requestsFailed"] == 0
+    assert stats["requestsFinished"] == 1
+    assert "https://x.com/private/p" not in [
+        o["url"] for o in engine.outcomes().collect()
+    ]
+    # queue counters: markRequestHandled DID count it as handled
+    assert store.info()["pendingRequestCount"] == 0
+    assert store.info() == store.info(exact=True)
+    assert store._manifest["failed_total"] == 0

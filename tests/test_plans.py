@@ -92,6 +92,57 @@ def test_anti_join_is_hash_not_cartesian(spark, store):
     assert "Cartesian" not in plan
 
 
+def test_mor_read_merges_without_frontier_shuffle(spark, tmp_path_factory):
+    """The MOR merge must never shuffle the base frontier: deltas resolve
+    among themselves, the base joins them with a broadcast LEFT ANTI
+    (VERDICT r2 item 1 — the old groupBy(request_id).max_by over base∪deltas
+    was a full-frontier wide-row shuffle on every read)."""
+    d = str(tmp_path_factory.mktemp("plans-mor"))
+    s = FrontierStore(spark, d, num_partitions=4, merge_on_read=True, compact_every=100)
+    s.add_requests(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(10)], "url string")
+    )
+    s.commit_delta(s.read().limit(3).withColumn("retry_count", F.lit(1)))
+
+    plan = explain_str(s.read(), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # one outstanding delta: NO shuffle anywhere in the read at all
+    assert "Exchange hashpartitioning" not in plan
+    assert "max_by" not in plan
+    # the base snapshot scan feeds the anti-join directly
+    lines = plan.splitlines()
+    (i,) = [n for n, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    assert "snapshots/" in lines[i + 1]
+
+    # several deltas: last-writer-wins resolves among the DELTAS only — the
+    # base scan still sits directly under the broadcast anti-join, unshuffled
+    s.commit_delta(s.read().limit(2).withColumn("retry_count", F.lit(2)))
+    s.commit_delta(s.read().limit(2).withColumn("retry_count", F.lit(3)))
+    plan = explain_str(s.read(), "simple")
+    lines = plan.splitlines()
+    (i,) = [n for n, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    assert "snapshots/" in lines[i + 1]
+    assert s.read().count() == 10
+    assert s.read().filter("retry_count = 3").count() == 2
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    """global_row_number (engine parent ranks) must rank inside partitions —
+    an unpartitioned row_number window funnels the frame through one task
+    (VERDICT r2 item 5)."""
+    from crawlee_spark.operators.scheduler import global_row_number
+
+    ranked = global_row_number(
+        spark.range(100).selectExpr("id * 3 as order_no"), "order_no", partitions=4
+    )
+    plan = explain_str(ranked, "simple")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            spec = line.split("windowspecdefinition")[1]
+            assert "_pid" in spec[:80], f"unpartitioned window: {line.strip()}"
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     """The materialized IVF index must PRUNE unprobed cells at scan time —
     the partition filter reaches the file source (only probed cell dirs

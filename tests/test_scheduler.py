@@ -93,3 +93,24 @@ def test_eligibility_lease_and_handled(spark, tmp_store_dir):
     got = sorted(r["_rk"] for r in elig.collect())
     # rk1 handled (out), rk2 lease==5 not expired (out), rk3 lease 2<5 expired (in), rk4 free (in)
     assert got == [3, 4]
+
+
+def test_global_row_number_matches_global_sort(spark):
+    """Two-phase rank ≡ row_number over a global sort, for unique keys —
+    including stability across a scrambled input order."""
+    from crawlee_spark.operators.scheduler import global_row_number
+
+    vals = [((i * 7919) % 1000,) for i in range(1000)]  # unique, scrambled
+    df = spark.createDataFrame(vals, "order_no long").repartition(7)
+    ranked = global_row_number(df, "order_no", col_name="rk", partitions=8)
+    got = {r["order_no"]: r["rk"] for r in ranked.collect()}
+    assert got == {v: v + 1 for v in range(1000)}
+
+
+def test_global_row_number_empty_and_single(spark):
+    from crawlee_spark.operators.scheduler import global_row_number
+
+    empty = spark.createDataFrame([], "order_no long")
+    assert global_row_number(empty, "order_no").count() == 0
+    one = spark.createDataFrame([(42,)], "order_no long")
+    assert global_row_number(one, "order_no", col_name="rk").collect()[0]["rk"] == 1

@@ -109,3 +109,82 @@ def test_engine_with_session_pool(spark, tmp_store_dir):
     # the retry of the blocked request gets a session again next round
     engine.run_round()
     assert engine.outcomes().filter("round_id = 2").count() >= 1
+
+
+def test_cookie_jar_merge_rules(spark):
+    """session.ts:341-345/365-375: Set-Cookie headers upsert the jar — per
+    cookie name the latest response (order_col) wins, other names carry."""
+    pool = make_pool(spark, 2)
+    sid = lambda i: f"session_r0_{i}"
+    outcomes = spark.createDataFrame(
+        [
+            (sid(0), "success", ["a=1; Path=/", "b=2"], 1),
+            (sid(0), "success", ["a=9; HttpOnly", "malformed"], 2),  # a overridden
+            (sid(1), "retry", ["tok=x"], 1),
+        ],
+        "session_id string, outcome string, set_cookie array<string>, ord long",
+    )
+    updated = update_pool(
+        pool, outcomes, POLICY, cookie_col="set_cookie", order_col="ord"
+    )
+    jars = {r["session_id"]: dict(r["cookies"]) for r in updated.collect()}
+    assert jars[sid(0)] == {"a": "9", "b": "2"}  # latest a wins; malformed dropped
+    assert jars[sid(1)] == {"tok": "x"}
+
+    # next round: new names merge in, untouched names persist
+    outcomes2 = spark.createDataFrame(
+        [(sid(0), "success", ["c=3"], 1)],
+        "session_id string, outcome string, set_cookie array<string>, ord long",
+    )
+    updated2 = update_pool(
+        updated, outcomes2, POLICY, cookie_col="set_cookie", order_col="ord"
+    )
+    jars2 = {r["session_id"]: dict(r["cookies"]) for r in updated2.collect()}
+    assert jars2[sid(0)] == {"a": "9", "b": "2", "c": "3"}
+    assert jars2[sid(1)] == {"tok": "x"}  # no updates this round → carried
+
+
+def test_assign_sessions_carries_cookie_jar(spark):
+    pool = make_pool(spark, 1)
+    outcomes = spark.createDataFrame(
+        [("session_r0_0", "success", ["k=v"], 1)],
+        "session_id string, outcome string, set_cookie array<string>, ord long",
+    )
+    pool = update_pool(pool, outcomes, POLICY, cookie_col="set_cookie", order_col="ord")
+    claims = spark.createDataFrame([("rid1",)], "request_id string")
+    got = assign_sessions(claims, pool, 1, POLICY).collect()[0]
+    assert dict(got["session_cookies"]) == {"k": "v"}
+
+
+def test_engine_cookie_carryover_across_rounds(spark, tmp_store_dir):
+    """Cookies set in round 1 survive _update_sessions and are still in the
+    persisted pool after round 2 (pool parquet round-trip included)."""
+    from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+    from crawlee_spark.operators.enqueue import EnqueueOptions
+    from crawlee_spark.operators.frontier import FrontierStore
+    from crawlee_spark.operators.scheduler import PolitenessPolicy
+
+    pages = spark.createDataFrame(
+        [
+            ("https://c.com/a", b"<a href='/b'>b</a>", 200, "text/html", ["r1=a"]),
+            ("https://c.com/b", b"<p>done</p>", 200, "text/html", ["r2=b"]),
+        ],
+        "url string, html binary, status_code int, content_type string, "
+        "set_cookie array<string>",
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=2)
+    policy = SessionPolicy(max_pool_size=1, max_usage_count=50, max_age_rounds=100)
+    engine = CrawlEngine(
+        spark,
+        store,
+        pages,
+        policy=PolitenessPolicy(max_concurrency=8, per_host_cap=8),
+        options=CrawlOptions(max_rounds=4, enqueue=EnqueueOptions(strategy="all")),
+        session_policy=policy,
+    )
+    engine.run(spark.createDataFrame([("https://c.com/a",)], "url string"))
+    jars = {r["session_id"]: dict(r["cookies"] or {}) for r in engine.session_pool().collect()}
+    merged = {}
+    for j in jars.values():
+        merged.update(j)
+    assert merged == {"r1": "a", "r2": "b"}  # both rounds' cookies persisted
