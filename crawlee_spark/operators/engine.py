@@ -393,7 +393,10 @@ class CrawlEngine:
                 ),
             ).otherwise(F.col("_error")),
         )
-        classified = rest.unionByName(ext).localCheckpoint(eager=True)
+        # raw bodies and probe scratch never outlive extraction: drop them so
+        # the checkpointed round frame is narrow — at a 512k-claim round the
+        # html column alone would pin tens of GB of executor storage
+        classified = rest.unionByName(ext).drop("html", "_blocked_sel").localCheckpoint(eager=True)
 
         # ---- ONE O(claimed) aggregate feeds everything driver-side this
         # round needs: per-outcome counts (metrics + O(1) counter deltas),

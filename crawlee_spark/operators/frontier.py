@@ -335,6 +335,88 @@ class FrontierStore:
         self._write_manifest()
         return self.spark.read.parquet(fdir(v))
 
+    def _delta_ids(self) -> DataFrame | None:
+        """request_ids touched by the outstanding deltas (O(claimed+fresh)
+        rows; may repeat across deltas — harmless for anti-joins)."""
+        deltas = self._manifest.get("deltas", [])
+        ids = None
+        for seq in deltas:
+            p = (
+                self.spark.read.schema(FRONTIER_SCHEMA)
+                .parquet(self._delta_dir(seq))
+                .select("request_id")
+            )
+            ids = p if ids is None else ids.unionByName(p)
+        return ids
+
+    def filters_base(self) -> DataFrame:
+        """Per-bucket Bloom filters covering AT LEAST the base snapshot.
+
+        The current filter version qualifies whenever it was built/carried
+        for this snapshot (covering extra delta ids is harmless — the filter
+        direction only forbids a false "definitely new" for a covered id).
+        Out-of-band snapshot change (``add_requests``' full commit) or
+        bootstrap rebuilds from the base."""
+        from crawlee_spark.operators.dedup_filters import build_filters
+
+        nb = self.bloom_buckets or 64
+        snap = self._manifest["snapshot"]
+        state = self._manifest.get("filters_state")
+
+        def fdir(v: int) -> str:
+            return os.path.join(self.root, "filters", f"f{v:06d}")
+
+        if (
+            state is not None
+            and state["snapshot"] == snap
+            and os.path.exists(fdir(state["version"]))
+        ):
+            return self.spark.read.parquet(fdir(state["version"]))
+        base = (
+            self.spark.read.schema(FRONTIER_SCHEMA)
+            .parquet(self._snapshot_dir(snap))
+            .select("request_id")
+        )
+        v = (state["version"] + 1) if state is not None else 0
+        build_filters(base, num_buckets=nb).write.mode("overwrite").parquet(fdir(v))
+        self._manifest["filters_state"] = {"snapshot": snap, "deltas": [], "version": v}
+        self._write_manifest()
+        return self.spark.read.parquet(fdir(v))
+
+    def _bloom_fresh(self, deduped: DataFrame, frontier: DataFrame) -> DataFrame:
+        """D5+D7 dedup with base-covering filters — NO filter write in the
+        enqueue hot path.
+
+        The filters cover the base snapshot only (maintained once per
+        compaction by the carry in ``commit_delta``). Candidates the base
+        filter rules out are still anti-joined against the OUTSTANDING DELTA
+        ids (O(claimed+fresh), broadcast), so the result is exactly
+        ``candidates − frontier`` either way. The previous shape OR-merged
+        every delta's ids into a NEW filter version per round — correct, but
+        it rewrote every bucket's bits each round (~12 GB of filter files per
+        round at the 10^10-row design point). Now the hot path pays one small
+        broadcast anti-join and filter writes amortize to 1/compact_every."""
+        from crawlee_spark.operators.dedup_filters import split_candidates
+
+        if self._manifest["snapshot"] < 0:
+            # young MOR store, no base yet: the frontier IS the deltas —
+            # the exact anti-join is already delta-sized
+            return deduped.join(frontier.select("request_id"), "request_id", "left_anti")
+        tagged = split_candidates(deduped, self.filters_base(), num_buckets=self.bloom_buckets)
+        fast = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket", "_h")
+        checked = (
+            tagged.filter(F.col("maybe_seen"))
+            .drop("maybe_seen", "bucket", "_h")
+            .join(frontier.select("request_id"), "request_id", "left_anti")
+        )
+        delta_ids = self._delta_ids()
+        if delta_ids is not None:
+            outstanding = sum(self._manifest.get("delta_rows", {}).values())
+            if outstanding <= self.delta_broadcast_max_rows:
+                delta_ids = F.broadcast(delta_ids)
+            fast = fast.join(delta_ids, "request_id", "left_anti")
+        return fast.unionByName(checked)
+
     def commit(self, df: DataFrame, *, round_increment: bool = False, extra: dict | None = None) -> int:
         """Write a new snapshot and atomically advance the manifest.
 
@@ -514,20 +596,16 @@ class FrontierStore:
         )
         # (2) seen-set dedup: exact left-anti join, fronted by the
         # partitioned Bloom prefilter when enabled (D7) — definitely-new
-        # candidates skip the join shuffle entirely; maybe-seen ones get the
-        # exact check, so the result is identical either way. ``filters()``
-        # keeps the filters current across MOR deltas by OR-merging each
-        # delta's ids (never a stale "definitely new" for a delta-added id —
-        # the one direction the guarantee forbids).
+        # candidates skip the frontier join shuffle entirely; maybe-seen ones
+        # get the exact check, so the result is identical either way. The
+        # filters cover the BASE snapshot; outstanding MOR delta ids are
+        # anti-joined exactly (never a stale "definitely new" for a
+        # delta-added id — the one direction the guarantee forbids) — see
+        # ``_bloom_fresh``.
         if self.bloom_buckets and against is None and (
             self._manifest["snapshot"] >= 0 or self._manifest.get("deltas")
         ):
-            from crawlee_spark.operators.dedup_filters import bloom_anti_join
-
-            fresh = bloom_anti_join(
-                deduped, frontier.select("request_id"), self.filters(),
-                num_buckets=self.bloom_buckets,
-            )
+            fresh = self._bloom_fresh(deduped, frontier)
         else:
             fresh = deduped.join(frontier.select("request_id"), "request_id", "left_anti")
         # (3) budget on NEW rows only, in arrival order — TakeOrdered (top-k

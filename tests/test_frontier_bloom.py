@@ -22,10 +22,11 @@ def test_store_bloom_dedup_idempotence(spark, tmp_store_dir):
     assert store.read().select("request_id").distinct().count() == 70
 
 
-def test_bloom_incremental_across_mor_deltas(spark, tmp_store_dir):
-    """MOR store: delta commits must NOT disable or rebuild the prefilter —
-    filters() OR-merges each delta's ids (version increments, snapshot
-    unchanged) and dedup stays exact against snapshot+delta contents."""
+def test_bloom_exact_across_mor_deltas(spark, tmp_store_dir):
+    """MOR store: the enqueue hot path must write NO filter version per
+    delta — the base-covering filters stay put while outstanding delta ids
+    are anti-joined exactly — and dedup stays exact against snapshot+delta
+    contents (a delta-added id must never pass as definitely-new)."""
     store = FrontierStore(
         spark, tmp_store_dir, num_partitions=4, bloom_buckets=8,
         merge_on_read=True, compact_every=100,
@@ -33,25 +34,31 @@ def test_bloom_incremental_across_mor_deltas(spark, tmp_store_dir):
     store.add_requests(
         spark.createDataFrame([(f"http://a.com/{i}",) for i in range(40)], "url string")
     )
-    store.filters()  # build v0 over the snapshot
-    v0 = store._manifest["filters_state"]["version"]
 
-    # a delta adds 10 new rows (bypassing add_requests' full commit)
+    # a delta adds 10 new rows (bypassing add_requests' full commit);
+    # this first bloom-path call bootstraps filter v0 over the base
     fresh = store.prepare_fresh(
         spark.createDataFrame([(f"http://a.com/{i}",) for i in range(40, 50)], "url string")
     )
+    assert fresh.count() == 10
     store.commit_delta(fresh)
-    # enqueue overlapping candidates THROUGH the bloom path: ids 30..59
+    v0 = store._manifest["filters_state"]["version"]
+
+    # enqueue overlapping candidates THROUGH the bloom path: ids 30..59 —
+    # 30-39 are in the base (filter catches), 40-49 only in the delta
+    # (exact delta anti-join catches), 50-59 genuinely new
     fresh2 = store.prepare_fresh(
         spark.createDataFrame([(f"http://a.com/{i}",) for i in range(30, 60)], "url string")
     )
+    assert fresh2.count() == 10
     store.commit_delta(fresh2)
     state = store._manifest["filters_state"]
-    assert state["version"] > v0 and state["snapshot"] == store._manifest["snapshot"]
+    # no filter write happened in the hot path; still covering the base
+    assert state["version"] == v0 and state["snapshot"] == store._manifest["snapshot"]
     assert store.read().count() == 60
     assert store.read().select("request_id").distinct().count() == 60
 
-    # compaction rebuilds from the full seen-set and stays exact
+    # an out-of-band full commit rebuilds from the new base and stays exact
     store.commit(store.read())
     fresh3 = store.prepare_fresh(
         spark.createDataFrame([(f"http://a.com/{i}",) for i in range(55, 65)], "url string")
