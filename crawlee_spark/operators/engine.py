@@ -470,6 +470,10 @@ class CrawlEngine:
                 "order_no",
                 col_name="_parent_rank",
                 partitions=self.store.num_partitions,
+                # n_claimed bounds the success count: small rounds keep the
+                # rank a lazy narrow window (no extra jobs), big rounds go
+                # two-phase — the single task would otherwise sort the round
+                approx_rows=n_claimed,
             )
             links = (
                 extracted.join(F.broadcast(ranks), "order_no")

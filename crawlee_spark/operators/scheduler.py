@@ -94,15 +94,24 @@ def per_key_topk(
     return partial.withColumn("_rank", F.row_number().over(w2)).filter(F.col("_rank") <= k)
 
 
+# Below this many rows a single-task sort of the NARROW rank frame is
+# sub-millisecond work and the two-phase machinery (range-sample job +
+# checkpoint + count collect) costs more than it saves; above it the
+# unpartitioned window becomes a real serialization point. Same adaptive
+# pattern as maybe_broadcast: pick the physical strategy from the size.
+SINGLE_TASK_RANK_MAX_ROWS = 131_072
+
+
 def global_row_number(
     df: DataFrame,
     order_col: str,
     *,
     col_name: str = "_rank",
     partitions: int = 32,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Global 1-based rank by ``order_col`` (values must be unique) without a
-    single-task sort.
+    single-task sort of anything big.
 
     ``row_number().over(Window.orderBy(...))`` funnels the WHOLE frame
     through one task — fine at 200 rows, a serialization point at a
@@ -110,12 +119,22 @@ def global_row_number(
     column, rank within each partition in parallel, then add per-partition
     offsets (one count-per-partition job, ≤ ``partitions`` rows collected).
 
+    When the caller knows the frame is small (``approx_rows`` ≤
+    ``SINGLE_TASK_RANK_MAX_ROWS``), the rank stays a lazy unpartitioned
+    window over the narrow frame instead — zero extra jobs, identical
+    result — because the two-phase version pays three eager jobs per call
+    (range sample, checkpoint, count), which is pure overhead at small
+    claim sizes.
+
     Because order values are unique, the resulting rank is a pure function
     of the data — independent of where Spark's sampled range boundaries
     land — so it is deterministic across runs/resumes even though
     ``repartitionByRange`` samples with an RDD-id-derived seed. (With ties
     it would NOT be; callers must rank a unique column.)
     """
+    if approx_rows is not None and approx_rows <= SINGLE_TASK_RANK_MAX_ROWS:
+        w = Window.orderBy(order_col)
+        return df.withColumn(col_name, F.row_number().over(w).cast("long"))
     parted = (
         df.repartitionByRange(partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())

@@ -114,3 +114,19 @@ def test_global_row_number_empty_and_single(spark):
     assert global_row_number(empty, "order_no").count() == 0
     one = spark.createDataFrame([(42,)], "order_no long")
     assert global_row_number(one, "order_no", col_name="rk").collect()[0]["rk"] == 1
+
+
+def test_global_row_number_small_path_equivalent(spark):
+    """The adaptive small-claim path (lazy narrow window) must produce the
+    identical ranking as the two-phase path."""
+    from crawlee_spark.operators.scheduler import global_row_number
+
+    vals = [((i * 37) % 100,) for i in range(100)]  # unique, scrambled
+    df = spark.createDataFrame(vals, "order_no long")
+    two = {(r["order_no"], r["rk"]) for r in global_row_number(df, "order_no", col_name="rk").collect()}
+    small = {
+        (r["order_no"], r["rk"])
+        for r in global_row_number(df, "order_no", col_name="rk", approx_rows=100).collect()
+    }
+    assert small == two
+    assert small == {(v, v + 1) for v in range(100)}

@@ -94,8 +94,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--concurrency", type=int, default=2_000)
+    ap.add_argument("--mor-only", action="store_true", help="skip the full-snapshot variant")
     args = ap.parse_args()
-    for mor in (False, True):
+    for mor in ((True,) if args.mor_only else (False, True)):
         print(json.dumps(run(mor, args.pages, args.rounds, args.cpus, args.concurrency)))
 
 
