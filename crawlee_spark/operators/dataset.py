@@ -88,6 +88,52 @@ class Dataset:
         out = self.read().orderBy("push_seq").offset(offset)
         return out.limit(limit) if limit is not None else out
 
+    def get_info(self) -> dict:
+        """``Dataset.getInfo`` (dataset.ts:458-470): O(1) metadata from the
+        driver-maintained sequence counter — no table scan."""
+        return {"itemCount": self._next_seq()}
+
+    def iterate(self, *, offset: int = 0, limit: int | None = None):
+        """``Dataset.forEach`` iteration surface (dataset.ts:484-512): yield
+        rows in push order WITHOUT materializing the dataset on the driver —
+        ``toLocalIterator`` streams one partition at a time. The reference's
+        sequential iteratee contract maps to ``for row in ds.iterate()``."""
+        return self.get_data(offset=offset, limit=limit).toLocalIterator()
+
+    def map_items(self, fn: Callable[[DataFrame], DataFrame]) -> DataFrame:
+        """``Dataset.map`` (dataset.ts:514-542), Spark-first: apply a
+        set-wise transformation to the push-ordered frame and return the
+        transformed FRAME (the reference materializes a driver array —
+        ``.collect()`` at the call site reproduces that for small results,
+        but the transform itself stays distributed)."""
+        return fn(self.read().orderBy("push_seq"))
+
+    def reduce_items(self, fn: Callable, memo=None, *, offset: int = 0):
+        """``Dataset.reduce`` (dataset.ts:544-607): an arbitrary SEQUENTIAL
+        fold — inherently order-dependent, so it runs as a driver fold over
+        the streamed push-order iterator (exactly the reference's contract).
+        For associative/commutative reductions use ``read().agg(...)``
+        instead: that form parallelizes with map-side partial aggregation
+        and is the right shape at scale; this method is the compatibility
+        surface for folds that genuinely need push order."""
+        it = self.iterate(offset=offset)
+        acc = memo
+        first = memo is None
+        for row in it:
+            if first:
+                acc, first = row, False
+            else:
+                acc = fn(acc, row)
+        return acc
+
+    def drop(self) -> None:
+        """``Dataset.drop`` (dataset.ts:685-689): remove data + metadata."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        if os.path.exists(self._meta_path()):
+            os.remove(self._meta_path())
+
     def export_to(self, path: str, fmt: str = "json", single_file: bool = False) -> None:
         """S8 exportTo{JSON,CSV}."""
         df = self.read().orderBy("push_seq")

@@ -55,6 +55,12 @@ class KeyValueStore:
                 f.write(value if isinstance(value, bytes) else bytes(value))
             os.replace(tmp, bin_path)
 
+    def record_exists(self, key: str) -> bool:
+        """recordExists (key_value_store.ts:242-247)."""
+        return os.path.exists(self._path(key, "json")) or os.path.exists(
+            self._path(key, "bin")
+        )
+
     def get_value(self, key: str, default: Any = None) -> Any:
         json_path, bin_path = self._path(key, "json"), self._path(key, "bin")
         if os.path.exists(json_path):

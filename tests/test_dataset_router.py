@@ -125,3 +125,37 @@ def test_salted_unique_key_keeps_duplicates(spark):
     ]
     assert len(set(keys)) == 2  # duplicates survive as distinct keys
     assert all(k.startswith("http://a.com/x|") for k in keys)
+
+
+def test_dataset_info_iterate_map_reduce_drop(spark, tmp_path):
+    """Dataset.getInfo/forEach/map/reduce/drop surface (dataset.ts:458-689)."""
+    from crawlee_spark.operators.dataset import Dataset
+
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    ds.push_data(
+        spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, v string"),
+        order_from="k",
+    )
+    assert ds.get_info() == {"itemCount": 3}
+
+    # iterate: push order, streamed
+    assert [r["v"] for r in ds.iterate()] == ["a", "b", "c"]
+    assert [r["v"] for r in ds.iterate(offset=1, limit=1)] == ["b"]
+
+    # map: set-wise transform, stays a DataFrame
+    doubled = ds.map_items(lambda df: df.selectExpr("k * 2 as k2", "push_seq"))
+    assert [r["k2"] for r in doubled.orderBy("push_seq").collect()] == [2, 4, 6]
+
+    # reduce: sequential driver fold in push order
+    concat = ds.reduce_items(lambda acc, row: acc + row["v"], memo="")
+    assert concat == "abc"
+    first = ds.reduce_items(lambda acc, row: acc)  # no memo: first row seeds
+    assert first["v"] == "a"
+
+    # second push continues the sequence across pushes
+    ds.push_data(spark.createDataFrame([(9, "z")], "k int, v string"), order_from="k")
+    assert ds.get_info() == {"itemCount": 4}
+    assert [r["v"] for r in ds.iterate()] == ["a", "b", "c", "z"]
+
+    ds.drop()
+    assert ds.get_info() == {"itemCount": 0}

@@ -47,3 +47,14 @@ def test_list_keys_and_for_each(tmp_path):
     kv.drop()
     import os
     assert not os.path.exists(str(tmp_path / "kv"))
+
+
+def test_record_exists(tmp_path):
+    from crawlee_spark.operators.kvstore import KeyValueStore
+
+    kv = KeyValueStore(str(tmp_path / "kv"))
+    assert not kv.record_exists("a")
+    kv.set_value("a", {"x": 1})
+    kv.set_value("b", b"\x00\x01", content_type="application/octet-stream")
+    assert kv.record_exists("a") and kv.record_exists("b")
+    assert not kv.record_exists("c")
