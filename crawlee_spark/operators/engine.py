@@ -62,6 +62,27 @@ SUPPORTED_MIME = (  # http-crawler.ts:65-66
 )
 
 
+def fetch_join(claimed: DataFrame, pages: DataFrame, *, prune_pages: bool = True) -> DataFrame:
+    """The fetch stage: ``claimed LEFT JOIN pages`` on url (S11 replacement —
+    a missing page row is a fetch error).
+
+    ``pages`` is the BIG side (the 100 TB WARC-store analog) and ``claimed``
+    is bounded by ``max_concurrency``, so a plain left join — which must
+    shuffle BOTH sides on url — would shuffle the entire corpus every round.
+    (Broadcasting directly into the left join is impossible: the preserved
+    side of an outer join cannot be the build side.) Instead the claim's
+    urls broadcast into a LEFT SEMI join that prunes the pages scan to the
+    claimed rows — a map-only pass over the corpus — and the actual left
+    join then runs at claim size on both sides. ``prune_pages=False``
+    falls back to the plain join (a pathologically large claim set whose
+    url list should not broadcast)."""
+    if not prune_pages:
+        return claimed.join(pages, claimed["url"] == pages["page_url"], "left").drop("page_url")
+    claim_urls = claimed.select(F.col("url").alias("page_url")).distinct()
+    relevant = pages.join(F.broadcast(claim_urls), "page_url", "left_semi")
+    return claimed.join(relevant, claimed["url"] == relevant["page_url"], "left").drop("page_url")
+
+
 def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
     """Broadcast-hint a dimension frame only when it is provably small.
 
@@ -104,6 +125,16 @@ class CrawlEngine:
     options: CrawlOptions = field(default_factory=CrawlOptions)
     session_policy: "SessionPolicy | None" = None  # enable the session pool (C6)
     robots_broadcast_max_rows: int = 1_000_000  # above this: shuffle join
+    # fetch-join pruning: the claim's url list broadcasts into a semi-join
+    # that prunes the pages scan; above this many claimed rows, fall back to
+    # the plain (corpus-shuffling) join rather than a giant broadcast
+    claims_broadcast_max_rows: int = 4_000_000
+    # None = auto: prune only when the pages source's file footprint exceeds
+    # pages_prune_min_bytes — below that a full shuffle is cheaper than the
+    # distinct+broadcast+semi-join machinery (measured −7% at a 40 MB corpus,
+    # while at the 100 TB design point the plain join shuffles the corpus)
+    prune_pages_fetch: bool | None = None
+    pages_prune_min_bytes: int = 1 << 30
 
     def __post_init__(self):
         self.results_dir = os.path.join(self.store.root, "results")
@@ -137,6 +168,20 @@ class CrawlEngine:
         if "handler_ms" not in cols:  # C7: no cost column ⇒ never times out
             pages = pages.withColumn("handler_ms", F.lit(None).cast("long"))
         self._pages = pages.withColumnRenamed("url", "page_url")
+        # size the pages source ONCE (driver metadata only) to pick the
+        # fetch-join strategy; sources with no file footprint (synthesized
+        # test frames) stay on the plain join
+        self._prune_fetch = self.prune_pages_fetch
+        if self._prune_fetch is None:
+            try:
+                from urllib.parse import urlparse
+
+                total = sum(
+                    os.path.getsize(urlparse(f).path) for f in self._pages.inputFiles()
+                )
+            except Exception:
+                total = 0
+            self._prune_fetch = total >= self.pages_prune_min_bytes
 
     # -- derived frames -------------------------------------------------------
     def results(self) -> DataFrame:
@@ -274,10 +319,14 @@ class CrawlEngine:
             self.store.commit_delta(leased, round_increment=True)
             round_committed = True
 
-        # ---- fetch = join against pages (left: missing page ⇒ fetch error)
-        fetched = claimed.join(
-            self._pages, claimed["url"] == self._pages["page_url"], "left"
-        ).drop("page_url")
+        # ---- fetch = join against pages (left: missing page ⇒ fetch error);
+        # the claim urls broadcast-semi-join prunes the corpus scan (see
+        # fetch_join) so the pages store is never shuffled
+        fetched = fetch_join(
+            claimed,
+            self._pages,
+            prune_pages=self._prune_fetch and n_claimed <= self.claims_broadcast_max_rows,
+        )
 
         # ---- robots re-check at fetch time (basic-crawler.ts:1627-1639)
         if self.robots is not None:

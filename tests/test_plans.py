@@ -170,3 +170,41 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     # pruned search ≡ in-memory ivf_topk with the same quantizer params
     mem = ivf_topk(q, corpus, k=3, n_centroids=4, nprobe=2, train_iters=1).collect()
     assert sorted(map(tuple, rows_out)) == sorted(map(tuple, mem))
+
+
+def test_fetch_join_never_shuffles_pages(spark, tmp_path_factory):
+    """The fetch stage must prune the pages store (the 100 TB corpus analog)
+    with a broadcast LEFT SEMI join on the claimed urls — a map-only corpus
+    scan — instead of shuffling the whole pages table into the left join."""
+    from crawlee_spark.operators.engine import fetch_join
+
+    d = str(tmp_path_factory.mktemp("plans-pages")) + "/pages"
+    spark.createDataFrame(
+        [(f"https://h.com/p{i}", f"<p>{i}</p>", 200, "text/html") for i in range(50)],
+        "page_url string, html string, status_code int, content_type string",
+    ).write.parquet(d)
+    pages = spark.read.parquet(d)
+    claimed = spark.createDataFrame(
+        [(f"rid{i}", f"https://h.com/p{i}") for i in range(5)], "request_id string, url string"
+    )
+
+    plan = explain_str(fetch_join(claimed, pages), "simple")
+    lines = plan.splitlines()
+    semi = [n for n, l in enumerate(lines) if "BroadcastHashJoin" in l and "LeftSemi" in l]
+    assert semi, f"no broadcast semi join in plan:\n{plan}"
+    # the pages parquet scan feeds the semi join directly (through at most a
+    # pushed not-null filter) — never an Exchange
+    sub = lines[semi[0] + 1 : semi[0] + 3]
+    assert any("plans-pages" in l for l in sub), plan
+    assert not any("Exchange" in l for l in sub), plan
+    # fallback shape: plain left join (both sides shuffled) when pruning is off
+    plain = explain_str(fetch_join(claimed, pages, prune_pages=False), "simple")
+    assert "LeftSemi" not in plain
+
+    # semantics identical either way (missing pages -> null page columns)
+    claimed2 = claimed.union(
+        spark.createDataFrame([("ridX", "https://h.com/missing")], "request_id string, url string")
+    )
+    a = sorted(map(tuple, fetch_join(claimed2, pages).collect()))
+    b = sorted(map(tuple, fetch_join(claimed2, pages, prune_pages=False).collect()))
+    assert a == b and len(a) == 6

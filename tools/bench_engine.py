@@ -59,6 +59,9 @@ def run(mor: bool, pages_n: int, rounds: int, cpus: int, concurrency: int = 2_00
         policy=PolitenessPolicy(max_concurrency=concurrency, per_host_cap=max(2, concurrency // 1000)),
         options=CrawlOptions(enqueue=EnqueueOptions(strategy="same-hostname"), max_rounds=rounds),
     )
+    bc = os.environ.get("SPARK_GRAFT_CLAIMS_BC_MAX")  # A/B the fetch-join pruning
+    if bc is not None:
+        engine.claims_broadcast_max_rows = int(bc)
     seeds = spark.range(pages_n).select(
         F.concat(
             F.lit("https://h.ex"), (F.col("id") % 1000).cast("string"), F.lit(".org/p"),
