@@ -358,6 +358,10 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
               "<priority>0.5</priority></url>"
               "<url><loc>https://www."), F.col("source"), F.lit(".example.com/alt/"), ds,
         F.lit("</loc><changefreq>sometimes</changefreq><lastmod>junk</lastmod></url>"
+              # spec-escaped multi-parameter loc: &amp; + a numeric char ref
+              # (sitemap.ts:81-103 sax text events arrive entity-DECODED)
+              "<url><loc>https://www."), F.col("source"), F.lit(".example.com/q&#63;id="), ds,
+        F.lit("&amp;page=2&amp;tag=&quot;x&quot;</loc><priority>0.9</priority></url>"
               "<url><priority>0.1</priority></url></urlset>"),
     )
     src = d.select(xml.alias("value"), F.concat(F.lit("https://sitemap/"), ds).alias("src"))
@@ -1223,6 +1227,13 @@ UNION ALL
 SELECT 'https://www.' || source || '.example.com/alt/' || doc_id AS loc,
   CAST(NULL AS TIMESTAMP) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
   CAST(NULL AS DOUBLE) AS priority,
+  'https://sitemap/' || doc_id AS origin_sitemap_url
+FROM documents
+UNION ALL
+SELECT 'https://www.' || source || '.example.com/q?id=' || doc_id
+    || '&page=2&tag="x"' AS loc,
+  CAST(NULL AS TIMESTAMP) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+  0.9 AS priority,
   'https://sitemap/' || doc_id AS origin_sitemap_url
 FROM documents
 """,

@@ -18,8 +18,11 @@ Reference semantics (packages/utils/src/internals/sitemap.ts):
 Parsing is regex Column expressions over whole-file text (sitemaps are a
 rigid machine-generated subset of XML — loc/lastmod/changefreq/priority
 inside ``<url>`` blocks — so a streaming SAX parse and a block-regex scan
-agree; CDATA and entity edge cases would go to a pandas UDF if ever needed).
-No Python runs per row.
+agree). Tag text is entity-decoded exactly like sax's text events
+(``xml_unescape_col``: the five XML named entities + numeric character
+references, single left-to-right pass, CDATA verbatim) — the sitemap spec
+REQUIRES ``&`` → ``&amp;`` escaping in ``<loc>``, so multi-parameter URLs
+are the common case, not an edge case. No Python runs per row.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ def gunzip_body_udf(body: pd.Series) -> pd.Series:
     through to a raw decode, where the XML/TXT parsers then yield zero rows
     (the reference surfaces a parser error and likewise emits no items)."""
     import gzip
+    import zlib
 
     def one(x):
         if x is None:
@@ -57,7 +61,9 @@ def gunzip_body_udf(body: pd.Series) -> pd.Series:
         if bb[:2] == b"\x1f\x8b":
             try:
                 bb = gzip.decompress(bb)
-            except OSError:
+            # gzip.decompress raises EOFError on truncated streams and
+            # zlib.error on corrupt deflate data, not just OSError/BadGzipFile
+            except (OSError, EOFError, zlib.error):
                 pass
         return bb.decode("utf-8", "replace")
 
@@ -74,10 +80,90 @@ def decompress_sitemap_bodies(df: DataFrame, *, body_col: str = "body") -> DataF
     return df
 
 
+def _chr_col(cp: Column) -> Column:
+    """Unicode codepoint (int Column) → single-character string, pure Column.
+
+    Spark's ``char()`` is byte-modulo-256, so build the UTF-16 code units by
+    hand instead: BMP codepoints decode directly as one UTF-16BE unit;
+    supplementary planes (> 0xFFFF) decode as a surrogate pair. Codepoints
+    outside Unicode (> 0x10FFFF) or in the surrogate gap return NULL (the
+    caller leaves the reference verbatim, mirroring a parser that refuses
+    the entity rather than emitting garbage)."""
+    bmp = F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+    off = cp - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(off, 10)
+    lo = F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))
+    pair = F.decode(
+        F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))),
+        "UTF-16BE",
+    )
+    return (
+        F.when((cp >= 0xD800) & (cp <= 0xDFFF), F.lit(None).cast("string"))
+        .when(cp <= 0xFFFF, bmp)
+        .when(cp <= 0x10FFFF, pair)
+    )
+
+
+_NAMED_ENTITIES = (("amp", "&"), ("lt", "<"), ("gt", ">"), ("quot", '"'), ("apos", "'"))
+
+
+def xml_unescape_col(c: Column) -> Column:
+    """Decode XML character references in a text Column, one left-to-right
+    pass — exactly the text a SAX parser's ``ontext`` events would carry
+    (sitemap.ts:83 ``new sax.SAXParser(true)``; strict sax decodes the five
+    XML named entities plus ``&#NNN;``/``&#xHH;`` via String.fromCodePoint).
+
+    Single-pass semantics matter: ``&amp;lt;`` must yield the literal text
+    ``&lt;``, never ``<``. A naive regexp_replace chain gets the easy cases
+    right but re-scans its own output; instead split on a zero-width
+    lookahead before every ``&`` (each segment then starts with at most one
+    reference) and decode only the segment's leading reference. Unknown or
+    malformed references pass through verbatim. Pure Column expressions —
+    no Python per row."""
+    parts = F.split(c, r"(?=&)")
+
+    def decode_one(p: Column) -> Column:
+        expr = None
+        for name, ch in _NAMED_ENTITIES:
+            cond = p.startswith(f"&{name};")
+            rep = F.concat(F.lit(ch), F.substring(p, len(name) + 3, 2_000_000_000))
+            expr = F.when(cond, rep) if expr is None else expr.when(cond, rep)
+        dec_digits = F.regexp_extract(p, r"^&#([0-9]{1,7});", 1)
+        dec_char = _chr_col(dec_digits.cast("int"))
+        expr = expr.when(
+            (dec_digits != "") & dec_char.isNotNull(),
+            F.concat(dec_char, F.regexp_replace(p, r"^&#[0-9]{1,7};", "")),
+        )
+        hex_digits = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]{1,6});", 1)
+        hex_char = _chr_col(F.conv(hex_digits, 16, 10).cast("int"))
+        expr = expr.when(
+            (hex_digits != "") & hex_char.isNotNull(),
+            F.concat(hex_char, F.regexp_replace(p, r"^&#[xX][0-9a-fA-F]{1,6};", "")),
+        )
+        return expr.otherwise(p)
+
+    return F.array_join(F.transform(parts, decode_one), "")
+
+
 def _tag_text(block: Column, tag: str) -> Column:
-    """Trimmed text content of the first <tag>...</tag> in an XML block."""
-    raw = F.regexp_extract(block, rf"(?is)<{tag}[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</{tag}>", 1)
-    return F.when(F.trim(raw) != "", F.trim(raw))
+    """Trimmed, entity-decoded text content of the first <tag>...</tag> in an
+    XML block. Entity decoding mirrors the reference's SAX text events
+    (sitemap.ts:81-103): the sitemap protocol REQUIRES ``&`` → ``&amp;``
+    escaping in ``<loc>``, so every multi-query-parameter URL arrives
+    escaped and must be decoded before keying."""
+    full = F.regexp_extract(block, rf"(?is)<{tag}[^>]*>(.*?)</{tag}>", 1)
+    decoded = _decode_tag_value(full)
+    return F.when(decoded != "", decoded)
+
+
+def _decode_tag_value(full: Column) -> Column:
+    """Raw inner text of a tag (possibly CDATA-wrapped, untrimmed) → the text
+    a SAX parse would deliver, trimmed. CDATA text reaches sax's oncdata
+    verbatim — character references are NOT decoded inside CDATA, only in
+    plain text events."""
+    trimmed = F.trim(full)
+    cdata = F.trim(F.regexp_extract(trimmed, r"(?s)^<!\[CDATA\[(.*?)\]\]>$", 1))
+    return F.when(trimmed.startswith("<![CDATA["), cdata).otherwise(xml_unescape_col(trimmed))
 
 
 def parse_sitemap_txt(df: DataFrame, text_col: str = "value", origin_col: str | None = None) -> DataFrame:
@@ -128,15 +214,19 @@ def parse_sitemap_xml(
 def parse_sitemap_index(df: DataFrame, xml_col: str = "value") -> DataFrame:
     """``<sitemapindex>`` XML → child sitemap URLs (column ``sitemap_url``)."""
     only_index = df.filter(F.col(xml_col).rlike(r"(?is)<sitemapindex[\s>]"))
-    return only_index.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.col(xml_col),
-                F.lit(r"(?is)<sitemap\b[^>]*>.*?<loc[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</loc>.*?</sitemap>"),
-                F.lit(1),
-            )
-        ).alias("sitemap_url")
-    ).select(F.trim("sitemap_url").alias("sitemap_url")).filter(F.col("sitemap_url") != "")
+    return (
+        only_index.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(xml_col),
+                    F.lit(r"(?is)<sitemap\b[^>]*>.*?<loc[^>]*>(.*?)</loc>.*?</sitemap>"),
+                    F.lit(1),
+                )
+            ).alias("raw_loc")
+        )
+        .select(_decode_tag_value(F.col("raw_loc")).alias("sitemap_url"))
+        .filter(F.col("sitemap_url").isNotNull() & (F.col("sitemap_url") != ""))
+    )
 
 
 def parse_sitemaps(

@@ -176,6 +176,64 @@ def test_parse_sitemaps_gzipped_bodies(spark):
     assert origins["https://example.com/from-gz-txt"] == "https://example.com/child2.txt.gz"
 
 
+def test_sitemap_loc_xml_entities_decoded(spark):
+    """Sitemap spec mandates &amp; escaping in <loc>; sax text events arrive
+    entity-decoded (sitemap.ts:81-103, strict sax: 5 named entities + numeric
+    character refs). Multi-param URLs are the COMMON case."""
+    urlset = (
+        "<urlset>"
+        "<url><loc>https://e.com/s?a=1&amp;b=2&amp;c=3</loc></url>"
+        "<url><loc>https://e.com/p&#63;x=&quot;q&quot;&#x26;y=&apos;r&apos;</loc></url>"
+        "<url><loc>&amp;lt;not-lt&gt;</loc></url>"
+        "<url><loc><![CDATA[https://e.com/cdata?a=1&amp;verbatim]]></loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(urlset,)], "value string")
+    locs = sorted(r["loc"] for r in parse_sitemap_xml(df).collect())
+    assert locs == [
+        # single-pass: &amp;lt; is the literal text "&lt;", never "<"
+        "&lt;not-lt>",
+        # CDATA content reaches oncdata verbatim — no entity decode inside
+        "https://e.com/cdata?a=1&amp;verbatim",
+        "https://e.com/p?x=\"q\"&y='r'",
+        "https://e.com/s?a=1&b=2&c=3",
+    ]
+
+
+def test_sitemap_index_loc_xml_entities_decoded(spark):
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://e.com/maps?part=1&amp;lang=en</loc></sitemap>"
+        "<sitemap><loc><![CDATA[ https://e.com/c.xml ]]></loc></sitemap>"
+        "</sitemapindex>"
+    )
+    got = {
+        r["sitemap_url"]
+        for r in parse_sitemap_index(spark.createDataFrame([(idx,)], "value string")).collect()
+    }
+    assert got == {"https://e.com/maps?part=1&lang=en", "https://e.com/c.xml"}
+
+
+def test_gunzip_udf_survives_corrupt_gzip_bodies(spark):
+    """Truncated gzip raises EOFError, corrupt deflate raises zlib.error —
+    both must degrade to the raw-decode path (zero parsed rows), never crash
+    the task (ADVICE r3)."""
+    import gzip
+
+    from crawlee_spark.sources.sitemap import decompress_sitemap_bodies
+
+    good = gzip.compress(b"<urlset><url><loc>https://ok.com/1</loc></url></urlset>")
+    truncated = good[: len(good) // 2]  # EOFError
+    corrupt = b"\x1f\x8b" + b"\x00" * 30  # zlib.error / OSError territory
+    df = spark.createDataFrame(
+        [("u1", good), ("u2", truncated), ("u3", corrupt)],
+        "sitemap_url string, body binary",
+    )
+    decoded = decompress_sitemap_bodies(df)
+    rows = parse_sitemap_xml(decoded, xml_col="body", origin_col="sitemap_url").collect()
+    assert [r["loc"] for r in rows] == ["https://ok.com/1"]
+
+
 def test_parse_sitemaps_keeps_seen_set_off_the_driver(spark):
     """Visited-sitemap dedup must be a DataFrame anti-join, not a collected
     Python set (VERDICT r2 'What's wrong' item 2): a cyclic index terminates
