@@ -30,9 +30,16 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+    from crawlee_spark.operators.handlers import RequestHandler
 
 from crawlee_spark.functions.html_text import extract_page_udf
 from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
@@ -83,16 +90,26 @@ def fetch_join(claimed: DataFrame, pages: DataFrame, *, prune_pages: bool = True
     return claimed.join(relevant, claimed["url"] == relevant["page_url"], "left").drop("page_url")
 
 
-def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+def maybe_broadcast(df: DataFrame, max_rows: int, max_bytes: int | None = None) -> DataFrame:
     """Broadcast-hint a dimension frame only when it is provably small.
 
     An unconditional ``F.broadcast`` on the robots table is a scale-killer:
     at millions of crawled hosts the dim no longer fits executor memory and
     the broadcast build OOMs. One count (cached by the caller via the
     returned frame's reuse) decides; above the cap the join falls back to a
-    shuffle join on the join key, which AQE sizes at runtime."""
+    shuffle join on the join key, which AQE sizes at runtime.
+
+    ``max_bytes`` additionally gates on estimated DATA size (rows × sampled
+    average row width): a row cap alone lets 1 M × 2 KB robots bodies — a
+    2 GB build — slip through as "small"."""
+    from crawlee_spark.operators.sizing import avg_row_bytes
+
     n = df.limit(max_rows + 1).count()
-    return F.broadcast(df) if n <= max_rows else df
+    if n > max_rows:
+        return df
+    if max_bytes is not None and n * avg_row_bytes(df) > max_bytes:
+        return df
+    return F.broadcast(df)
 
 
 @dataclass
@@ -113,6 +130,29 @@ class CrawlOptions:
     # retryCount, message 'requestHandler timed out after N seconds.').
     # None disables the gate (and sources without handler_ms are never gated).
     request_handler_timeout_secs: float | None = None
+    # C13/Router: per-label user request handlers (router.ts dispatch,
+    # basic-crawler.ts:159-175). Maps label -> RequestHandler (operators/
+    # handlers.py); the None key is the default route. Each handler is an
+    # Arrow-batched function over its label's slice of the round's successes;
+    # its declared extra columns flow into the results dataset. A label with
+    # no route and no default aborts the crawl (MissingRouteError ==
+    # CriticalError, basic-crawler.ts:1889); a handler THROW is retryable
+    # exactly like a fetch error (basic-crawler.ts:1880-1941).
+    handlers: "dict[str | None, RequestHandler] | None" = None
+    # errorHandler (basic-crawler.ts:1896-1899): set-wise hook over the
+    # round's would-retry slice, AFTER the error is pushed and BEFORE
+    # retry_count increments. fn(pdf) -> pd.DataFrame may return mutated
+    # user_data / no_retry / max_retries / forefront / label columns (the
+    # reference's errorHandler mutates the request in place); returning
+    # no_retry=True converts the retry into a finalized failure, exactly
+    # like request.noRetry in the reference (basic-crawler.ts:1904).
+    error_handler: "Callable[[pd.DataFrame], pd.DataFrame] | None" = None
+    # failedRequestHandler (basic-crawler.ts:1953-1965): set-wise hook over
+    # the round's finalized failures, seeing error_messages WITH the final
+    # error already pushed. fn(pdf) -> pd.DataFrame | None; returned rows
+    # (schema: failed_handler_schema) append to <root>/failed_handled.
+    failed_request_handler: "Callable[[pd.DataFrame], pd.DataFrame] | None" = None
+    failed_handler_schema: "T.StructType | None" = None
 
 
 @dataclass
@@ -125,10 +165,15 @@ class CrawlEngine:
     options: CrawlOptions = field(default_factory=CrawlOptions)
     session_policy: "SessionPolicy | None" = None  # enable the session pool (C6)
     robots_broadcast_max_rows: int = 1_000_000  # above this: shuffle join
+    # byte companion to the row cap: robots bodies are KB-scale, so a row
+    # count alone admits multi-GB builds (1 M x 2 KB). Rows AND bytes gate.
+    robots_broadcast_max_bytes: int = 256 << 20
     # fetch-join pruning: the claim's url list broadcasts into a semi-join
-    # that prunes the pages scan; above this many claimed rows, fall back to
-    # the plain (corpus-shuffling) join rather than a giant broadcast
+    # that prunes the pages scan; above this many claimed rows — or this many
+    # estimated url BYTES (urls average ~60 B but can run far wider) — fall
+    # back to the plain (corpus-shuffling) join rather than a giant broadcast
     claims_broadcast_max_rows: int = 4_000_000
+    claims_broadcast_max_bytes: int = 128 << 20
     # None = auto: prune only when the pages source's file footprint exceeds
     # pages_prune_min_bytes — below that a full shuffle is cheaper than the
     # distinct+broadcast+semi-join machinery (measured −7% at a 40 MB corpus,
@@ -137,13 +182,30 @@ class CrawlEngine:
     pages_prune_min_bytes: int = 1 << 30
 
     def __post_init__(self):
+        from crawlee_spark.operators.handlers import merged_extra_fields
+
+        self._handler_extra_names = (
+            [f.name for f in merged_extra_fields(self.options.handlers)]
+            if self.options.handlers
+            else []
+        )
+        if (
+            self.options.failed_request_handler is not None
+            and self.options.failed_handler_schema is None
+        ):
+            raise ValueError(
+                "failed_request_handler requires failed_handler_schema "
+                "(the columns of the frame it returns)"
+            )
         self.results_dir = os.path.join(self.store.root, "results")
         self.outcomes_dir = os.path.join(self.store.root, "outcomes")
         self.skipped_dir = os.path.join(self.store.root, "skipped")
         self.sessions_dir = os.path.join(self.store.root, "sessions")
         # size the robots dim ONCE: broadcast only when provably small
         self._robots = (
-            maybe_broadcast(self.robots, self.robots_broadcast_max_rows)
+            maybe_broadcast(
+                self.robots, self.robots_broadcast_max_rows, self.robots_broadcast_max_bytes
+            )
             if self.robots is not None
             else None
         )
@@ -294,7 +356,14 @@ class CrawlEngine:
         else:
             claimed = claimed.withColumn("session_id", F.lit(None).cast("string"))
         claimed = claimed.localCheckpoint(eager=True)  # pin the claim set
-        n_claimed = claimed.count()
+        # one aggregate gives the claim count AND the exact url byte mass the
+        # fetch-join prune would broadcast (guard on bytes, not just rows)
+        _cstats = claimed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("url")).alias("url_bytes"),
+        ).collect()[0]
+        n_claimed = _cstats["n"]
+        claim_url_bytes = int(_cstats["url_bytes"] or 0)
         if n_claimed == 0:
             return {"round": round_id, "claimed": 0, "done": True}
 
@@ -325,7 +394,9 @@ class CrawlEngine:
         fetched = fetch_join(
             claimed,
             self._pages,
-            prune_pages=self._prune_fetch and n_claimed <= self.claims_broadcast_max_rows,
+            prune_pages=self._prune_fetch
+            and n_claimed <= self.claims_broadcast_max_rows
+            and claim_url_bytes <= self.claims_broadcast_max_bytes,
         )
 
         # ---- robots re-check at fetch time (basic-crawler.ts:1627-1639)
@@ -446,6 +517,19 @@ class CrawlEngine:
         # the checkpointed round frame is narrow — at a 512k-claim round the
         # html column alone would pin tens of GB of executor storage
         classified = rest.unionByName(ext).drop("html", "_blocked_sel").localCheckpoint(eager=True)
+        # ---- user hooks AFTER the extraction checkpoint (their plans — and
+        # the router's no-route probe — must never recompute the extraction
+        # UDF) but BEFORE the round aggregate, so their reclassifications
+        # (handler throw -> retry, errorHandler noRetry -> fail) land in the
+        # counters and the outcome merge for free. A second narrow
+        # checkpoint pins the hook outputs; rounds without hooks keep the
+        # single-checkpoint plan unchanged.
+        if self.options.handlers:
+            classified = self._apply_request_handlers(classified, can_retry)
+        if self.options.error_handler is not None:
+            classified = self._apply_error_handler(classified)
+        if self.options.handlers or self.options.error_handler is not None:
+            classified = classified.localCheckpoint(eager=True)
 
         # ---- ONE O(claimed) aggregate feeds everything driver-side this
         # round needs: per-outcome counts (metrics + O(1) counter deltas),
@@ -488,7 +572,8 @@ class CrawlEngine:
         # successes (post-probe) already carry extracted text + links
         extracted = classified.filter(F.col("_outcome") == "success")
 
-        # results dataset append (S7)
+        # results dataset append (S7) — plus any extra columns the user's
+        # per-label handlers produced (the requestHandler's pushData analog)
         (
             extracted.select(
                 "request_id",
@@ -499,10 +584,15 @@ class CrawlEngine:
                 "crawl_depth",
                 "label",
                 F.lit(round_id).alias("round_id"),
+                *self._handler_extra_names,
             )
             .write.mode("append")
             .parquet(self.results_dir)
         )
+        # failedRequestHandler: the round's finalized failures, error list
+        # already carrying the final error (basic-crawler.ts:1953-1965)
+        if self.options.failed_request_handler is not None:
+            self._apply_failed_handler(classified, round_id)
 
         # ---- discovered links → gate → enqueue
         new_enqueued = 0
@@ -732,6 +822,127 @@ class CrawlEngine:
         )
         self.store._manifest["order_seq"] = new_seq_base + r_span
         return updated.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+    # -- user hooks (C13 Router dispatch + error hooks) ----------------------
+    def _apply_request_handlers(self, classified: DataFrame, can_retry) -> DataFrame:
+        """Dispatch the round's successes to their label's handler
+        (router.ts:315-329) and fold the results back: extra columns flow to
+        the results dataset; a handler THROW reclassifies that request as
+        retryable exactly like a fetch error (basic-crawler.ts:1880-1941)."""
+        from crawlee_spark.operators.handlers import apply_request_handlers
+
+        succ = classified.filter(F.col("_outcome") == "success").withColumn(
+            "links", F.col("_links")
+        )
+        extras = apply_request_handlers(succ, self.options.handlers)
+        joined = classified.join(extras, "request_id", "left")
+        err = F.col("_handler_error")
+        return (
+            joined.withColumn(
+                "_outcome",
+                F.when(
+                    (F.col("_outcome") == "success") & err.isNotNull(),
+                    F.when(can_retry & ~F.col("no_retry"), F.lit("retry")).otherwise(
+                        F.lit("fail")
+                    ),
+                ).otherwise(F.col("_outcome")),
+            )
+            .withColumn("_error", F.when(err.isNotNull(), err).otherwise(F.col("_error")))
+            .drop("_handler_error")
+        )
+
+    def _apply_error_handler(self, classified: DataFrame) -> DataFrame:
+        """errorHandler (basic-crawler.ts:1896-1906), set-wise over the
+        would-retry slice: the handler sees the request with the error
+        already pushed and may mutate user_data / no_retry / max_retries /
+        forefront / label; a flipped no_retry converts the retry into a
+        finalized failure (the reference re-checks noRetry AFTER the hook)."""
+        from crawlee_spark.operators.handlers import (
+            ERROR_MUTABLE_COLS,
+            HANDLER_INPUT_COLS,
+            apply_error_handler,
+        )
+
+        retryable = classified.filter(F.col("_outcome").isin("retry", "session_retry"))
+        in_cols = [c for c in HANDLER_INPUT_COLS if c in classified.columns]
+        mut_cols = [c for c, _ in ERROR_MUTABLE_COLS if c in classified.columns]
+        sel = list(dict.fromkeys([*in_cols, *mut_cols]))
+        handler_in = retryable.select(
+            *sel, F.col("_error").alias("error_message")
+        ).withColumn(
+            # pushErrorMessage happens BEFORE the hook (basic-crawler.ts:1887)
+            "error_messages",
+            F.when(
+                F.col("error_message").isNotNull(),
+                F.concat(
+                    F.coalesce(F.col("error_messages"), F.array()),
+                    F.array(F.col("error_message")),
+                ),
+            ).otherwise(F.col("error_messages")),
+        )
+        muts = apply_error_handler(handler_in, self.options.error_handler)
+        muts = muts.select(
+            "request_id", "_eh", *[F.col(c).alias(f"_m_{c}") for c in mut_cols]
+        )
+        joined = classified.join(muts, "request_id", "left")
+        seen = F.coalesce(F.col("_eh"), F.lit(False))
+        out = joined
+        for c in mut_cols:
+            out = out.withColumn(c, F.when(seen, F.col(f"_m_{c}")).otherwise(F.col(c)))
+        out = out.drop("_eh", *[f"_m_{c}" for c in mut_cols])
+        return out.withColumn(
+            "_outcome",
+            F.when(
+                F.col("_outcome").isin("retry", "session_retry") & F.col("no_retry"),
+                F.lit("fail"),
+            ).otherwise(F.col("_outcome")),
+        )
+
+    def _apply_failed_handler(self, classified: DataFrame, round_id: int) -> None:
+        """failedRequestHandler (basic-crawler.ts:1953-1965), set-wise over
+        the round's finalized failures; the input's error_messages carries
+        the final error (pushed at the top of the reference's error path).
+        Rows the handler returns append to ``<root>/failed_handled``."""
+        from crawlee_spark.operators.handlers import HANDLER_INPUT_COLS
+
+        fn = self.options.failed_request_handler
+        schema = self.options.failed_handler_schema
+        failed = classified.filter(F.col("_outcome") == "fail")
+        in_cols = [c for c in HANDLER_INPUT_COLS if c in classified.columns]
+        handler_in = failed.select(
+            *in_cols, F.col("_error").alias("error_message")
+        ).withColumn(
+            "error_messages",
+            F.when(
+                F.col("error_message").isNotNull(),
+                F.concat(
+                    F.coalesce(F.col("error_messages"), F.array()),
+                    F.array(F.col("error_message")),
+                ),
+            ).otherwise(F.col("error_messages")),
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                res = fn(pdf.copy())
+                if res is None:
+                    continue
+                res = res.reset_index(drop=True)
+                out = pd.DataFrame(index=range(len(res)))
+                for fld in schema.fields:
+                    out[fld.name] = res[fld.name] if fld.name in res.columns else None
+                yield out
+
+        (
+            handler_in.mapInPandas(gen, schema=schema)
+            .withColumn("round_id", F.lit(round_id))
+            .write.mode("append")
+            .parquet(os.path.join(self.store.root, "failed_handled"))
+        )
 
     # -- full crawl -------------------------------------------------------------
     def run(self, seeds: DataFrame | None = None) -> dict:

@@ -1,0 +1,266 @@
+"""Per-label user handler hooks (VERDICT r3 items 2-3): Router dispatch
+(router.ts:315-329), requestHandler errors (basic-crawler.ts:1880-1941),
+errorHandler mutations (basic-crawler.ts:1896-1906) and
+failedRequestHandler finalization (basic-crawler.ts:1953-1965)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
+from crawlee_spark.operators.enqueue import EnqueueOptions
+from crawlee_spark.operators.frontier import FrontierStore
+from crawlee_spark.operators.handlers import (
+    MissingRouteError,
+    RequestHandler,
+    apply_request_handlers,
+)
+from crawlee_spark.operators.scheduler import PolitenessPolicy
+
+_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _pages(spark, urls):
+    rows = [
+        {
+            "url": u,
+            "warc_ts": _TS,
+            "html": f"<html><body><p>words for page {i}</p></body></html>".encode(),
+            "text": None,
+            "lang": "en",
+            "status_code": 200,
+            "content_type": "text/html; charset=utf-8",
+        }
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "status_code int, content_type string",
+    )
+
+
+def _engine(spark, tmp_store_dir, urls, seeds, options):
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=2)
+    engine = CrawlEngine(
+        spark=spark,
+        store=store,
+        pages=_pages(spark, urls),
+        policy=PolitenessPolicy(max_concurrency=50, per_host_cap=50, salt_buckets=2),
+        options=options,
+    )
+    engine.add_seeds(seeds)
+    return engine
+
+
+def test_router_dispatches_per_label_with_default(spark, tmp_store_dir):
+    urls = [
+        "https://h1.example.com/a",
+        "https://h1.example.com/b",
+        "https://h2.example.com/c",
+        "https://h2.example.com/d",
+    ]
+    seeds = spark.createDataFrame(
+        list(zip(urls, ["detail", "detail", "listing", None])), "url string, label string"
+    )
+
+    def detail(pdf):
+        return pd.DataFrame({"kind": ["D"] * len(pdf), "title": pdf["url"].str.upper()})
+
+    def listing(pdf):
+        return pd.DataFrame({"kind": ["L"] * len(pdf)})
+
+    def fallback(pdf):
+        return pd.DataFrame({"kind": ["default"] * len(pdf)})
+
+    extra = T.StructType(
+        [T.StructField("kind", T.StringType()), T.StructField("title", T.StringType())]
+    )
+    kind_only = T.StructType([T.StructField("kind", T.StringType())])
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            max_rounds=1,
+            enqueue=EnqueueOptions(strategy="all"),
+            handlers={
+                "detail": RequestHandler(detail, extra),
+                "listing": RequestHandler(listing, kind_only),
+                None: RequestHandler(fallback, kind_only),
+            },
+        ),
+    )
+    engine.run_round()
+    got = {r["url"]: (r["kind"], r["title"]) for r in engine.results().collect()}
+    assert got == {
+        "https://h1.example.com/a": ("D", "HTTPS://H1.EXAMPLE.COM/A"),
+        "https://h1.example.com/b": ("D", "HTTPS://H1.EXAMPLE.COM/B"),
+        "https://h2.example.com/c": ("L", None),
+        "https://h2.example.com/d": ("default", None),
+    }
+
+
+def test_missing_route_aborts_the_crawl(spark, tmp_store_dir):
+    urls = ["https://h1.example.com/a"]
+    seeds = spark.createDataFrame([(urls[0], "unrouted")], "url string, label string")
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            max_rounds=1,
+            handlers={"detail": RequestHandler(lambda pdf: None, T.StructType([]))},
+        ),
+    )
+    # MissingRouteError is a CriticalError in the reference: the run aborts
+    # (basic-crawler.ts:1889) instead of retrying the request
+    with pytest.raises(MissingRouteError, match="Route not found for label 'unrouted'"):
+        engine.run_round()
+
+
+def test_handler_throw_is_retryable_then_fails(spark, tmp_store_dir):
+    urls = ["https://h1.example.com/a", "https://h1.example.com/b"]
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def flaky(pdf):
+        if pdf["url"].str.endswith("/a").any():
+            raise ValueError("boom on /a")
+        return pd.DataFrame({"kind": ["ok"] * len(pdf)})
+
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            max_rounds=4,
+            max_request_retries=1,
+            handlers={
+                None: RequestHandler(flaky, T.StructType([T.StructField("kind", T.StringType())]))
+            },
+        ),
+    )
+    engine.run(None)
+    rows = {r["url"]: r for r in engine.store.read().collect()}
+    a, b = rows["https://h1.example.com/a"], rows["https://h1.example.com/b"]
+    # /a: one retry consumed, then finalized failed with both errors recorded
+    assert a["failed"] and a["retry_count"] == 1 and a["handled_at"] is not None
+    assert len(a["error_messages"]) == 2
+    assert all("boom on /a" in m for m in a["error_messages"])
+    # /b succeeded (per-row isolation: /a's poison never touched it) and its
+    # handler output reached the results dataset
+    assert not b["failed"] and b["handled_at"] is not None
+    got = {r["url"]: r["kind"] for r in engine.results().collect()}
+    assert got == {"https://h1.example.com/b": "ok"}
+
+
+def test_handler_batch_errors_are_row_isolated(spark):
+    """One poisoned request in an Arrow batch must not fail its batchmates:
+    the wrapper re-runs the batch row-by-row on a throw."""
+    df = spark.createDataFrame(
+        [(f"r{i}", f"https://h.com/{i}", None) for i in range(6)],
+        "request_id string, url string, label string",
+    ).coalesce(1)
+
+    def fn(pdf):
+        if pdf["url"].str.endswith("/3").any():
+            raise RuntimeError("poison")
+        return pd.DataFrame({"ok": pdf["url"].str.len()})
+
+    out = apply_request_handlers(
+        df,
+        {None: RequestHandler(fn, T.StructType([T.StructField("ok", T.LongType())]))},
+    ).collect()
+    by_id = {r["request_id"]: r for r in out}
+    assert len(by_id) == 6
+    assert by_id["r3"]["_handler_error"] is not None
+    assert "poison" in by_id["r3"]["_handler_error"] and by_id["r3"]["ok"] is None
+    for i in (0, 1, 2, 4, 5):
+        assert by_id[f"r{i}"]["_handler_error"] is None
+        assert by_id[f"r{i}"]["ok"] == len(f"https://h.com/{i}")
+
+
+def test_error_handler_mutates_request_before_reclaim(spark, tmp_store_dir):
+    """basic_crawler.test.ts:663 semantics: errorHandler modifies the
+    request; the reclaimed row carries the mutation into the next attempt."""
+    urls = ["https://h1.example.com/a"]
+    seeds = spark.createDataFrame([(urls[0],)], "url string")
+
+    def always_throw(pdf):
+        raise ValueError("handler exploded")
+
+    seen = []
+
+    def error_handler(pdf):
+        # the hook sees the pushed error (reference pushes BEFORE the hook)
+        assert pdf["error_messages"].iloc[0][-1].startswith("ValueError: handler exploded")
+        pdf["user_data"] = "patched-by-errorHandler:" + pdf["retry_count"].astype(str)
+        return pdf
+
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            max_rounds=1,
+            max_request_retries=3,
+            handlers={None: RequestHandler(always_throw, T.StructType([]))},
+            error_handler=error_handler,
+        ),
+    )
+    engine.run_round()
+    row = engine.store.read().collect()[0]
+    # reclaimed (not failed), retry consumed AFTER the hook ran, mutation kept
+    assert not row["failed"] and row["handled_at"] is None
+    assert row["retry_count"] == 1
+    assert row["user_data"] == "patched-by-errorHandler:0"
+
+
+def test_error_handler_no_retry_finalizes_failure(spark, tmp_store_dir):
+    """errorHandler setting noRetry converts the retry into a finalized
+    failure (the reference re-checks request.noRetry after the hook,
+    basic-crawler.ts:1904), and failedRequestHandler then sees the request
+    with the final error pushed."""
+    urls = ["https://h1.example.com/a", "https://h1.example.com/b"]
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def flaky(pdf):
+        if pdf["url"].str.endswith("/a").any():
+            raise ValueError("fatal-ish")
+        return None
+
+    def error_handler(pdf):
+        pdf["no_retry"] = True
+        return pdf
+
+    def failed_handler(pdf):
+        return pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "last_error": pdf["error_messages"].map(lambda m: m[-1]),
+                "n_errors": pdf["error_messages"].map(len),
+            }
+        )
+
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            max_rounds=2,
+            max_request_retries=3,
+            handlers={None: RequestHandler(flaky, T.StructType([]))},
+            error_handler=error_handler,
+            failed_request_handler=failed_handler,
+            failed_handler_schema=T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("last_error", T.StringType()),
+                    T.StructField("n_errors", T.IntegerType()),
+                ]
+            ),
+        ),
+    )
+    engine.run(None)
+    row = {r["url"]: r for r in engine.store.read().collect()}["https://h1.example.com/a"]
+    assert row["failed"] and row["retry_count"] == 0  # no retry ever consumed
+    import os
+
+    failed_out = spark.read.parquet(os.path.join(engine.store.root, "failed_handled")).collect()
+    assert len(failed_out) == 1
+    assert failed_out[0]["url"] == "https://h1.example.com/a"
+    assert failed_out[0]["n_errors"] == 1
+    assert failed_out[0]["last_error"].startswith("ValueError: fatal-ish")
