@@ -172,6 +172,11 @@ class FrontierStore:
     # delta rows the read falls back to a shuffled anti-join (pathological —
     # compact_every bounds outstanding deltas long before this).
     delta_broadcast_max_rows: int = 4_000_000
+    # byte companion to the row cap: request_ids are ~15 B so 4 M rows is a
+    # comfortable ~60 MB broadcast, but the guard must not assume the width —
+    # delta commits record the exact id byte mass (delta_id_bytes) and reads
+    # gate on rows AND bytes
+    delta_broadcast_max_bytes: int = 128 << 20
     _manifest: dict = field(default_factory=dict, repr=False)
 
     MANIFEST = "manifest.json"
@@ -184,6 +189,7 @@ class FrontierStore:
                 self._manifest = json.load(f)
             self._manifest.setdefault("deltas", [])
             self._manifest.setdefault("delta_rows", {})
+            self._manifest.setdefault("delta_id_bytes", {})
             self._manifest.setdefault("handled_total", 0)
             self._manifest.setdefault("failed_total", 0)
         else:
@@ -197,6 +203,7 @@ class FrontierStore:
                 "history": [],
                 "deltas": [],  # MOR delta seqs since the last base snapshot
                 "delta_rows": {},  # seq (str) -> row count, for broadcast sizing
+                "delta_id_bytes": {},  # seq (str) -> request_id byte mass
             }
 
     # -- manifest helpers ---------------------------------------------------
@@ -220,6 +227,40 @@ class FrontierStore:
 
     def _delta_dir(self, seq: int) -> str:
         return os.path.join(self.root, "deltas", f"d{seq:06d}")
+
+    def _outstanding_delta_stats(self) -> tuple[int, int]:
+        """(total rows, total request_id bytes) across the outstanding
+        deltas, for broadcast sizing.
+
+        Manifests written before ``delta_rows``/``delta_id_bytes`` existed
+        can list outstanding deltas with no stats entry; summing those to 0
+        would silently disarm the broadcast guard (always broadcasting,
+        however large the delta). Backfill a missing entry with a one-time
+        scan of that delta file — cached in the manifest dict and persisted
+        at the next manifest write."""
+        dr = self._manifest.setdefault("delta_rows", {})
+        db = self._manifest.setdefault("delta_id_bytes", {})
+        deltas = self._manifest.get("deltas", [])
+        for seq in deltas:
+            if str(seq) not in dr or str(seq) not in db:
+                row = (
+                    self.spark.read.parquet(self._delta_dir(seq))
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.octet_length("request_id")).alias("b"),
+                    )
+                    .collect()[0]
+                )
+                dr[str(seq)] = row["n"]
+                db[str(seq)] = int(row["b"] or 0)
+        return (
+            sum(dr[str(seq)] for seq in deltas),
+            sum(db[str(seq)] for seq in deltas),
+        )
+
+    def _deltas_broadcastable(self) -> bool:
+        rows, id_bytes = self._outstanding_delta_stats()
+        return rows <= self.delta_broadcast_max_rows and id_bytes <= self.delta_broadcast_max_bytes
 
     # -- table I/O -----------------------------------------------------------
     def read(self, columns: list[str] | None = None) -> DataFrame:
@@ -275,8 +316,7 @@ class FrontierStore:
         if base is None:
             return merged
         ids = merged.select("request_id")
-        outstanding = sum(self._manifest.get("delta_rows", {}).values())
-        if outstanding <= self.delta_broadcast_max_rows:
+        if self._deltas_broadcastable():
             ids = F.broadcast(ids)
         return base.join(ids, "request_id", "left_anti").unionByName(merged)
 
@@ -411,8 +451,7 @@ class FrontierStore:
         )
         delta_ids = self._delta_ids()
         if delta_ids is not None:
-            outstanding = sum(self._manifest.get("delta_rows", {}).values())
-            if outstanding <= self.delta_broadcast_max_rows:
+            if self._deltas_broadcastable():
                 delta_ids = F.broadcast(delta_ids)
             fast = fast.join(delta_ids, "request_id", "left_anti")
         return fast.unionByName(checked)
@@ -472,6 +511,7 @@ class FrontierStore:
             shutil.rmtree(self._delta_dir(seq), ignore_errors=True)
         self._manifest["deltas"] = []
         self._manifest["delta_rows"] = {}
+        self._manifest["delta_id_bytes"] = {}
         self._write_manifest()
         # retire old snapshots beyond a small retention window
         keep_from = snap - 3
@@ -503,8 +543,14 @@ class FrontierStore:
             self._manifest["round"] += 1
         if extra:
             self._manifest.update(extra)
-        n_changed = self.spark.read.parquet(out_dir).count()
+        _dstats = (
+            self.spark.read.parquet(out_dir)
+            .agg(F.count("*").alias("n"), F.sum(F.octet_length("request_id")).alias("b"))
+            .collect()[0]
+        )
+        n_changed = _dstats["n"]
         self._manifest.setdefault("delta_rows", {})[str(seq)] = n_changed
+        self._manifest.setdefault("delta_id_bytes", {})[str(seq)] = int(_dstats["b"] or 0)
         self._manifest["history"].append(
             {
                 "delta": seq,

@@ -177,3 +177,35 @@ def test_mid_round_crash_recovers(spark, tmp_store_dir):
     assert final.filter(F.col("handled_at").isNull()).count() == 0  # nothing stuck
     assert final.filter(F.col("lease_until").isNotNull()).count() == 0
     assert store2.info() == store2.info(exact=True)  # counters survived the crash
+
+
+def test_legacy_manifest_backfills_delta_stats(spark, tmp_store_dir):
+    """Manifests written before delta_rows/delta_id_bytes existed list
+    outstanding deltas with no stats; the sums must be backfilled from the
+    delta files — not silently treated as 0, which would unconditionally
+    broadcast arbitrarily large deltas (ADVICE r3)."""
+    import json
+
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=4, compact_every=100)
+    store.add_requests(
+        spark.createDataFrame([(f"http://a.com/{i}",) for i in range(10)], "url string")
+    )
+    store.commit_delta(store.read().limit(4).withColumn("retry_count", F.lit(1)))
+    want_rows, want_bytes = store._outstanding_delta_stats()
+    assert want_rows == 4 and want_bytes > 0
+
+    # simulate an upgraded store: stats entries missing from the manifest
+    mpath = os.path.join(tmp_store_dir, FrontierStore.MANIFEST)
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("delta_rows", None)
+    m.pop("delta_id_bytes", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    s2 = FrontierStore(spark, tmp_store_dir, num_partitions=4, compact_every=100)
+    assert s2._outstanding_delta_stats() == (want_rows, want_bytes)
+    # and the guard still answers from real sizes
+    assert s2._deltas_broadcastable()
+    s2.delta_broadcast_max_bytes = 1
+    assert not s2._deltas_broadcastable()
