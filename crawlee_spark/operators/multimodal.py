@@ -7,15 +7,19 @@ A training-data pipeline treats media as:
     media(doc_id long, kind string, content binary, meta struct<...>)
 
 with decode / feature-extract / resize / frame-sample as Arrow-batched
-``mapInPandas`` stages. The image/audio codec libraries are NOT available in
-this environment, so the codec call itself is stubbed: either a clearly
-marked ``NotImplementedError`` (``strict=True``) or a deterministic fake
-decode keyed on the content bytes (default — keeps the full Spark plumbing
+``mapInPandas`` stages. The two containers pure Python can parse with
+``struct`` alone decode for REAL: uncompressed BMP (header, bottom-up row
+flip, padding strip → pixels) and PCM WAV (RIFF chunk walk → sample rate /
+channels / bits → PCM samples). Formats that need codec libraries (JPEG,
+PNG, MP3, MP4, ...) are stubbed at the codec call: a clearly marked
+``NotImplementedError`` (``strict=True``) or a deterministic fake decode
+keyed on the content bytes (default — keeps the full Spark plumbing
 testable: schema evolution, Arrow batch shapes, partition sizing).
 
 Real parts (tested): byte-level metadata extraction (pure Column
-expressions: magic-byte sniffing, sizes), the mapInPandas signatures, batch
-iteration, and output schemas. Stubbed parts (marked): pixel/sample decode.
+expressions: magic-byte sniffing, sizes), BMP pixel and WAV PCM decode, the
+mapInPandas signatures, batch iteration, and output schemas. Stubbed parts
+(marked): pixel/sample decode for codec-library formats.
 
 Scale notes: media rows are large (MBs) — the plumbing repartitions by
 ``doc_id`` before decode so Arrow batches stay bounded, and metadata-only
@@ -37,7 +41,7 @@ MAGIC_PREFIXES = (
     ("89504e47", "png"),
     ("ffd8ff", "jpeg"),
     ("47494638", "gif"),
-    ("52494646", "riff"),  # wav/avi/webp container
+    ("52494646", "riff"),  # wav/avi/webp container (refined to 'wav' below)
     ("494433", "mp3"),
     ("664c6143", "flac"),
     ("1a45dfa3", "mkv"),  # matroska/webm
@@ -46,15 +50,33 @@ MAGIC_PREFIXES = (
 )
 
 
+def _sniff_py(blob: bytes) -> str:
+    """Python twin of ``sniff_format_col`` for the mapInPandas decode paths."""
+    if blob[:2] == b"BM" and blob[6:10] == b"\x00\x00\x00\x00":
+        return "bmp"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    head = blob[:8].hex()
+    for prefix, name in MAGIC_PREFIXES:
+        if head.startswith(prefix.lower()):
+            return name
+    return "unknown"
+
+
 def sniff_format_col(content) -> F.Column:
     """Container format from magic bytes — pure Column expression (hex of the
-    first 8 bytes vs known prefixes); 'unknown' otherwise."""
+    first 8 bytes vs known prefixes); 'unknown' otherwise. Two refinements
+    need bytes past the first 8: BMP ('BM' + zeroed reserved field — the
+    extra check keeps text bodies that merely start with "BM" out) and WAV
+    (RIFF container whose form type at offset 8 is 'WAVE')."""
     c = F.col(content) if isinstance(content, str) else content
     head = F.lower(F.hex(F.substring(c, 1, 8)))
     expr = F.lit("unknown")
     for prefix, name in reversed(MAGIC_PREFIXES):
         expr = F.when(head.startswith(prefix.lower()), F.lit(name)).otherwise(expr)
-    return expr
+    is_bmp = head.startswith("424d") & (F.hex(F.substring(c, 7, 4)) == "00000000")
+    is_wav = head.startswith("52494646") & (F.hex(F.substring(c, 9, 4)) == "57415645")
+    return F.when(is_bmp, F.lit("bmp")).when(is_wav, F.lit("wav")).otherwise(expr)
 
 
 def media_meta(df: DataFrame, *, content_col: str = "content") -> DataFrame:
@@ -80,6 +102,77 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, bytes] | None:
+    """REAL decode for the one image container pure Python can parse with
+    ``struct`` alone: uncompressed BITMAPINFOHEADER BMP.
+
+    Returns (width, height, raster_bytes) — raster_bytes is the pixel
+    payload re-ordered top-left-first with row padding stripped (BMPs store
+    rows bottom-up unless the header height is negative, and every stored
+    row pads to a 4-byte boundary). None for anything that is not a plain
+    BI_RGB BMP (caller falls back to the declared stub)."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    try:
+        data_offset = struct.unpack_from("<I", blob, 10)[0]
+        header_size = struct.unpack_from("<I", blob, 14)[0]
+        if header_size < 40:
+            return None  # BITMAPCOREHEADER etc. — out of scope
+        width, height = struct.unpack_from("<ii", blob, 18)
+        planes, bpp = struct.unpack_from("<HH", blob, 26)
+        compression = struct.unpack_from("<I", blob, 30)[0]
+    except struct.error:
+        return None
+    if width <= 0 or height == 0 or compression != 0 or bpp not in (8, 24, 32):
+        return None
+    top_down = height < 0
+    height = abs(height)
+    row_data = width * bpp // 8
+    row_stride = (row_data + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_offset + row_stride * height
+    if len(blob) < need:
+        return None
+    rows = [
+        blob[data_offset + r * row_stride : data_offset + r * row_stride + row_data]
+        for r in range(height)
+    ]
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> emit raster (top-first) order
+    return width, height, b"".join(rows)
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL decode for the one audio container pure Python can parse with
+    ``struct`` alone: RIFF/WAVE PCM.
+
+    Walks the RIFF chunk list for ``fmt `` and ``data`` and returns
+    (channels, sample_rate, bits_per_sample, pcm_bytes); None when the blob
+    is not a PCM WAV (caller falls back to the declared stub)."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_format != 1:  # PCM only
+                return None
+            fmt = (channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None or fmt[0] == 0 or fmt[1] == 0 or fmt[2] == 0:
+        return None
+    return (*fmt, data)
 
 
 def _fake_decode(content: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
@@ -110,30 +203,39 @@ def decode_image_features(
 
     Arrow-batched ``mapInPandas``: each batch is a pandas DataFrame of rows;
     the UDF is a generator so giant partitions stream batch-by-batch instead
-    of materializing. ``strict=True`` raises NotImplementedError at the
-    codec boundary (the honest no-codec-libs mode); default uses the
-    deterministic fake decode."""
+    of materializing.
+
+    Uncompressed BMP rows get a REAL decode (``_decode_bmp``: header parse,
+    bottom-up row flip, padding strip): width/height from the header and
+    feature[i] = raster_byte[i]/255 over the first ``feat_dim`` raster
+    bytes. Other formats need codec libraries this environment doesn't
+    ship: ``strict=True`` raises NotImplementedError at that (and only
+    that) boundary; the default uses the deterministic fake decode."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
     if batch_partitions:
         src = src.repartition(batch_partitions, "doc_id")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image codec libraries are not available in this environment; "
-                    "plug a real decoder into decode_image_features"
-                )
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                w, h, feat = _fake_decode(blob, feat_dim)
-                fmt = "unknown"
-                head = blob[:8].hex()
-                for prefix, name in MAGIC_PREFIXES:
-                    if head.startswith(prefix.lower()):
-                        fmt = name
-                        break
+                fmt = _sniff_py(blob)
+                bmp = _decode_bmp(blob) if fmt == "bmp" else None
+                if bmp is not None:
+                    w, h, raster = bmp
+                    feat = [
+                        (raster[i] if i < len(raster) else 0) / 255.0
+                        for i in range(feat_dim)
+                    ]
+                elif strict:
+                    raise NotImplementedError(
+                        f"no codec for format '{fmt}' in this environment "
+                        "(only uncompressed BMP decodes with pure Python); "
+                        "plug a real decoder into decode_image_features"
+                    )
+                else:
+                    w, h, feat = _fake_decode(blob, feat_dim)
                 rows.append((int(doc_id), fmt, w, h, feat))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "format", "width", "height", "feature"]
@@ -204,12 +306,20 @@ def extract_audio_features(
     content_col: str = "content",
     id_col: str = "doc_id",
     feat_dim: int = 8,
+    strict: bool = False,
 ) -> DataFrame:
-    """STUB audio featurizer: (doc_id, format, duration_ms, feature).
+    """Audio featurizer: (doc_id, format, duration_ms, feature).
 
-    Duration is a deterministic proxy (bytes at a nominal 16 kB/s); the
-    feature vector derives from the content digest. Real build: ffmpeg/
-    torchaudio behind the same mapInPandas signature."""
+    PCM WAV rows get a REAL decode (``_decode_wav``: RIFF chunk walk,
+    fmt/data parse): duration_ms from data bytes over the true byte rate and
+    feature[i] = sample[i]/32768 over the first ``feat_dim`` 16-bit LE
+    samples (8-bit PCM: (byte-128)/128). Other formats need codec libraries
+    this environment doesn't ship: ``strict=True`` raises
+    NotImplementedError at that (and only that) boundary; the default keeps
+    the deterministic proxies (bytes at a nominal 16 kB/s; digest
+    features)."""
+    import struct
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,14 +327,27 @@ def extract_audio_features(
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                fmt = "unknown"
-                head = blob[:8].hex()
-                for prefix, name in MAGIC_PREFIXES:
-                    if head.startswith(prefix.lower()):
-                        fmt = name
-                        break
-                dur = len(blob) * 1000 // 16000
-                _, _, feat = _fake_decode(blob, feat_dim)
+                fmt = _sniff_py(blob)
+                wav = _decode_wav(blob) if fmt == "wav" else None
+                if wav is not None:
+                    channels, rate, bits, data = wav
+                    dur = len(data) * 1000 // (rate * channels * (bits // 8))
+                    if bits == 16:
+                        n = min(feat_dim, len(data) // 2)
+                        samples = struct.unpack_from(f"<{n}h", data, 0)
+                        feat = [s / 32768.0 for s in samples] + [0.0] * (feat_dim - n)
+                    else:  # 8-bit PCM is unsigned
+                        n = min(feat_dim, len(data))
+                        feat = [(b - 128) / 128.0 for b in data[:n]] + [0.0] * (feat_dim - n)
+                elif strict:
+                    raise NotImplementedError(
+                        f"no codec for format '{fmt}' in this environment "
+                        "(only PCM WAV decodes with pure Python); "
+                        "plug a real decoder into extract_audio_features"
+                    )
+                else:
+                    dur = len(blob) * 1000 // 16000
+                    _, _, feat = _fake_decode(blob, feat_dim)
                 rows.append((int(doc_id), fmt, dur, feat))
             yield pd.DataFrame(rows, columns=["doc_id", "format", "duration_ms", "feature"])
 

@@ -84,3 +84,104 @@ def test_audio_features_stub(spark):
     assert abs(rows[1]["duration_ms"] - 2000) < 10
     assert len(rows[1]["feature"]) == 4
     assert rows[2]["format"] == "unknown"
+
+
+# -- real pure-Python codecs: uncompressed BMP + PCM WAV ---------------------
+
+def make_bmp(width, height, pixel_bytes, *, top_down=False, bpp=24):
+    """Raster-order (top-first) pixel bytes → a valid BI_RGB BMP file."""
+    import struct
+
+    row_data = width * bpp // 8
+    stride = (row_data + 3) & ~3
+    rows = [
+        pixel_bytes[r * row_data : (r + 1) * row_data] + b"\x00" * (stride - row_data)
+        for r in range(height)
+    ]
+    if not top_down:
+        rows = rows[::-1]  # BMPs store bottom-up by default
+    arr = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(arr), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, (-height if top_down else height), 1, bpp, 0,
+        len(arr), 2835, 2835, 0, 0,
+    )
+    return hdr + dib + arr
+
+
+def make_wav(samples, *, rate=8000, channels=1, bits=16):
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_real_decode(spark):
+    """BMP decodes for real: header geometry, bottom-up row flip, row-padding
+    strip — a top-down and a bottom-up encoding of the SAME raster must
+    decode identically."""
+    raster = bytes(range(18))  # 3x2 px, 24bpp -> 9 bytes/row, stride pads to 12
+    df = spark.createDataFrame(
+        [
+            (1, make_bmp(3, 2, raster)),
+            (2, make_bmp(3, 2, raster, top_down=True)),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image_features(df, feat_dim=8).collect()}
+    for d in (1, 2):
+        assert rows[d]["format"] == "bmp"
+        assert (rows[d]["width"], rows[d]["height"]) == (3, 2)
+        got = [round(v * 255) for v in rows[d]["feature"]]
+        assert got == list(range(8))  # raster order, padding stripped
+    # strict mode: BMP is genuinely supported, so no raise
+    strict_rows = decode_image_features(df, feat_dim=4, strict=True).collect()
+    assert len(strict_rows) == 2
+
+
+def test_bmp_sniff_and_strict_boundary(spark):
+    """media_meta sniffs bmp/wav; strict decode raises ONLY for formats with
+    no pure-Python codec."""
+    df = spark.createDataFrame(
+        [(1, make_bmp(2, 1, bytes(6))), (2, make_wav([0, 100])), (3, PNG)],
+        "doc_id long, content binary",
+    )
+    meta = {r["doc_id"]: r["format"] for r in media_meta(df).collect()}
+    assert meta == {1: "bmp", 2: "wav", 3: "png"}
+    # png AND wav rows both lack an image codec; whichever task fails first
+    # surfaces, so match the stable prefix only
+    with pytest.raises(Exception, match="no codec for format"):
+        decode_image_features(df, feat_dim=4, strict=True).collect()
+    # a text body that merely starts with "BM" must NOT sniff as bmp
+    txt = spark.createDataFrame([(9, b"BMW article body text")], "doc_id long, content binary")
+    assert media_meta(txt).collect()[0]["format"] == "unknown"
+
+
+def test_wav_real_decode(spark):
+    from crawlee_spark.operators.multimodal import extract_audio_features
+
+    samples = [0, 16384, -16384, 32767, -32768, 1, -1, 1000] + [0] * 7992
+    wav16 = make_wav(samples, rate=8000, channels=1, bits=16)  # 8000 samples = 1s
+    wav8 = make_wav([128, 255, 0, 64], rate=4000, channels=1, bits=8)  # 1 ms
+    df = spark.createDataFrame(
+        [(1, wav16), (2, wav8)], "doc_id long, content binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_audio_features(df, feat_dim=4, strict=True).collect()
+    }
+    assert rows[1]["format"] == "wav" and rows[1]["duration_ms"] == 1000
+    got = [round(v * 32768) for v in rows[1]["feature"]]
+    assert got == [0, 16384, -16384, 32767]
+    assert rows[2]["duration_ms"] == 1
+    got8 = [round(v * 128) for v in rows[2]["feature"]]
+    assert got8 == [0, 127, -128, -64]
