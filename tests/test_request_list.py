@@ -1,0 +1,67 @@
+"""RequestList REQUEST_LIST_STATE persistence (S2, request_list.ts:552-614):
+kill mid-drain -> resume -> identical final frontier; order tampering and
+invalid state blobs raise like _restoreState."""
+
+import os
+
+import pytest
+
+from crawlee_spark.operators.frontier import FrontierStore
+from crawlee_spark.operators.kvstore import KeyValueStore
+from crawlee_spark.sources.request_list import STATE_KEY, RequestList
+
+URLS = [f"https://h{i % 3}.example.com/p{i:03d}" for i in range(17)]
+
+
+def _setup(spark, tmp_store_dir, sub):
+    kv = KeyValueStore(os.path.join(tmp_store_dir, sub, "kv"))
+    store = FrontierStore(spark, os.path.join(tmp_store_dir, sub, "frontier"), num_partitions=2)
+    seeds = spark.createDataFrame([(u,) for u in URLS], "url string")
+    return kv, store, seeds
+
+
+def test_request_list_resumes_mid_list(spark, tmp_store_dir):
+    kv, store, seeds = _setup(spark, tmp_store_dir, "a")
+    rl = RequestList(kv)
+    sink = lambda b: store.add_requests(b.select("url"))
+
+    # "crash" after two persisted batches
+    n = rl.drain(seeds, sink, batch_size=5, max_batches=2)
+    assert n == 2
+    st = rl.state()
+    assert st["nextIndex"] == 10 and st["nextUniqueKey"] is not None
+    assert not rl.is_finished()
+    assert store.read().count() == 10
+
+    # resume: a FRESH RequestList over the same kv finishes the list
+    rl2 = RequestList(kv)
+    rl2.drain(seeds, sink, batch_size=5)
+    assert rl2.is_finished()
+
+    # final frontier identical to a single-shot add
+    _, store1, seeds1 = _setup(spark, tmp_store_dir, "oneshot")
+    store1.add_requests(seeds1)
+    got = sorted(r["unique_key"] for r in store.read().select("unique_key").collect())
+    want = sorted(r["unique_key"] for r in store1.read().select("unique_key").collect())
+    assert got == want and len(got) == len(URLS)
+
+    # a finished list drains zero further batches
+    assert rl2.drain(seeds, sink, batch_size=5) == 0
+
+
+def test_request_list_state_validation(spark, tmp_store_dir):
+    kv, store, seeds = _setup(spark, tmp_store_dir, "b")
+    sink = lambda b: store.add_requests(b.select("url"))
+
+    kv.set_value(STATE_KEY, {"nextIndex": -1})
+    with pytest.raises(ValueError, match="non-negative"):
+        RequestList(kv).drain(seeds, sink)
+
+    kv.set_value(STATE_KEY, {"nextIndex": 999, "nextUniqueKey": None})
+    with pytest.raises(ValueError, match="too few requests loaded"):
+        RequestList(kv).drain(seeds, sink)
+
+    # reordered list: uniqueKey at nextIndex no longer matches
+    kv.set_value(STATE_KEY, {"nextIndex": 3, "nextUniqueKey": "https://not-the-one/"})
+    with pytest.raises(ValueError, match="order of URLs seems to have changed"):
+        RequestList(kv).drain(seeds, sink)
