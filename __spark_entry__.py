@@ -20,6 +20,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from crawlee_spark.functions.keying import host_col, normalize_url_udf, registrable_domain_col, request_id_col
@@ -601,9 +602,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     png_magic = F.unhex(F.lit("89504E470D0A1A0A"))
+    # doc_id % 5 == 1: a REAL 3x2 24-bpp bottom-up BMP whose stored pixel
+    # byte k is (doc_id*7 + k) % 256 (k over 2 stride-12 rows = 24 bytes).
+    # The real decoder flips rows to raster order and strips padding, so
+    # feature[i] recovers stored byte 12+i — the oracle recomputes that
+    # closed form. Header: BM + size 78 + offset 54 + BITMAPINFOHEADER(40,
+    # w=3, h=2, planes=1, bpp=24, BI_RGB, size 24, 2835 ppm).
+    bmp_header = (
+        "424D4E0000000000000036000000"
+        "280000000300000002000000010018000000000018000000"
+        "330B0000330B00000000000000000000"
+    )
+    bmp_pixels = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 7 + F.lit(k)) % 256), 2, "0")
+            for k in range(24)
+        ]
+    )
+    bmp = F.unhex(F.concat(F.lit(bmp_header), bmp_pixels))
     media = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 5 == 0, F.concat(png_magic, F.encode("text", "UTF-8")))
+        .when(F.col("doc_id") % 5 == 1, bmp)
         .otherwise(F.encode("text", "UTF-8"))
         .alias("content"),
     )
@@ -796,6 +816,69 @@ def q_session_cookies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_request_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13/Router per-label dispatch (router.ts:315-329, VERDICT r3 item 2):
+    two explicit routes plus a default route over a synthesized success
+    frame; each handler is an Arrow-batched user function emitting extra
+    result columns. Deterministic handler bodies (upper-case title, token
+    count) so DuckDB recomputes the dispatch + outputs exactly."""
+    import pandas as pd
+
+    from crawlee_spark.operators.handlers import RequestHandler, apply_request_handlers
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    base = d.select(
+        F.concat(F.lit("r"), ds).alias("request_id"),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/h/"), ds
+        ).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("detail"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("listing"))
+        .alias("label"),  # % 3 == 2 -> NULL label -> default route
+        F.col("text").alias("extracted_text"),
+    )
+
+    def detail(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": ["D"] * len(pdf),
+                "title": pdf["url"].str.upper(),
+                "n_words": pdf["extracted_text"].fillna("").str.split().str.len(),
+            }
+        )
+
+    def listing(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": ["L"] * len(pdf),
+                "n_words": pdf["extracted_text"].fillna("").str.split().str.len(),
+            }
+        )
+
+    def fallback(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"kind": ["default"] * len(pdf)})
+
+    extras = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("n_words", T.LongType()),
+        ]
+    )
+    kind_words = T.StructType([f for f in extras.fields if f.name != "title"])
+    kind_only = T.StructType([extras.fields[0]])
+    out = apply_request_handlers(
+        base,
+        {
+            "detail": RequestHandler(detail, extras),
+            "listing": RequestHandler(listing, kind_words),
+            None: RequestHandler(fallback, kind_only),
+        },
+    )
+    return out.select("request_id", "kind", "title", "n_words")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_keying": q_url_keying,
@@ -835,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "session_cookies": q_session_cookies,
         "sitemap_gz": q_sitemap_gz,
+        "request_handlers": q_request_handlers,
     }
 
 
@@ -1095,6 +1179,7 @@ WITH m AS (
          ELSE encode(text) END)) AS h,
     CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS format
   FROM documents
+  WHERE doc_id % 5 <> 1
 )
 SELECT doc_id, format,
   CAST(64 + {_md5_byte('h', 0)} % 192 AS BIGINT) AS width,
@@ -1103,6 +1188,15 @@ SELECT doc_id, format,
   CAST((list_value({', '.join(_md5_byte('h', j) for j in range(8))})[i.i + 1] * 31 + i.i) % 256 AS BIGINT)
     AS feat_byte
 FROM m, (SELECT unnest(range(0, 8)) AS i) i
+UNION ALL
+-- doc_id % 5 = 1: REAL BMP decode. Stored pixel byte k = (doc_id*7+k)%256
+-- over two bottom-up stride-12 rows; raster flip => feature[i] is stored
+-- byte 12+i (top row data), padding (bytes 9-11, 21-23) never surfaces.
+SELECT doc_id, 'bmp' AS format, CAST(3 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+  CAST(i.i AS BIGINT) AS feat_idx,
+  CAST((doc_id * 7 + 12 + i.i) % 256 AS BIGINT) AS feat_byte
+FROM documents, (SELECT unnest(range(0, 8)) AS i) i
+WHERE doc_id % 5 = 1
 """
 
     dot_ab = _dot_sql("va", "vb")
@@ -1505,6 +1599,22 @@ SELECT
   CAST(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 1.0 END AS DOUBLE) AS priority,
   'https://' || source || '.example.com/sitemap_' || CAST(doc_id AS VARCHAR) || '.xml.gz'
     AS origin_sitemap_url
+FROM documents
+""",
+        # Router dispatch (C13): DuckDB recomputes the label routing and the
+        # deterministic handler bodies (upper-case title; whitespace token
+        # count matching pandas str.split())
+        "request_handlers": r"""
+SELECT 'r' || doc_id AS request_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'D'
+       WHEN doc_id % 3 = 1 THEN 'L'
+       ELSE 'default' END AS kind,
+  CASE WHEN doc_id % 3 = 0
+       THEN upper('https://www.' || source || '.example.com/h/' || doc_id) END AS title,
+  CASE WHEN doc_id % 3 IN (0, 1) THEN
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+  END AS n_words
 FROM documents
 """,
     }
