@@ -879,6 +879,44 @@ def q_request_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("request_id", "kind", "title", "n_words")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
+    numbers / phones replaced by tokens in the documented pass order, plus
+    stage-wise match counts. Fixture: digit-stripped document text + one
+    synthesized instance of each PII type (digit-free prefix means the
+    oracle can predict the redaction constructively; verified there are no
+    ``@`` characters in the corpus text)."""
+    from crawlee_spark.functions.pii import pii_count_cols, redact_pii_col
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    clean = F.regexp_replace(F.col("text"), "[0-9]", "")
+    raw = F.concat(
+        clean,
+        F.lit(" contact a"), ds, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or +1 (413) 555-00"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" card 4111 1111 1111 1111 end"),
+    )
+    counts = pii_count_cols(raw)
+    return d.select(
+        "doc_id",
+        redact_pii_col(raw).alias("redacted"),
+        *[v.alias(k) for k, v in counts.items()],
+    )
+
+
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams (text_analysis.ngram_vocab): the
+    vocabulary-building pass — map-side-combinable count, TakeOrdered
+    top-k with a deterministic tie-break."""
+    from crawlee_spark.functions.text_analysis import ngram_vocab
+
+    return ngram_vocab(_docs(spark, sf_dir), "text", n=2, top_k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_keying": q_url_keying,
@@ -919,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_cookies": q_session_cookies,
         "sitemap_gz": q_sitemap_gz,
         "request_handlers": q_request_handlers,
+        "pii_redaction": q_pii_redaction,
+        "ngram_vocab": q_ngram_vocab,
     }
 
 
@@ -1616,5 +1656,30 @@ SELECT 'r' || doc_id AS request_id,
          ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
   END AS n_words
 FROM documents
+""",
+        # constructive: the corpus text is digit-free after the strip (and
+        # carries no '@'), so the appended PII instances are the only
+        # possible matches — the expected redaction is a closed form
+        "pii_redaction": """
+SELECT doc_id,
+  regexp_replace(text, '[0-9]', '', 'g')
+    || ' contact [EMAIL] or [PHONE] ip [IP] card [CC] end' AS redacted,
+  CAST(1 AS BIGINT) AS n_emails, CAST(1 AS BIGINT) AS n_ips,
+  CAST(1 AS BIGINT) AS n_cards, CAST(1 AS BIGINT) AS n_phones
+FROM documents
+""",
+        "ngram_vocab": r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+),
+idx AS (
+  SELECT w, unnest(range(0, greatest(len(w) - 1, 0))) AS i FROM t
+),
+g AS (SELECT w[i + 1] || ' ' || w[i + 2] AS ngram FROM idx)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 100
 """,
     }

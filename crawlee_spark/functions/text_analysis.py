@@ -173,3 +173,37 @@ def doc_fingerprint_col(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: F.pmod(acc * _FP_MULT + v, F.lit(_FP_MOD)),
     )
+
+
+def ngram_cols(text: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams (space-joined) over the whitespace tokens —
+    a sliding window via ``transform`` over an index sequence (no explode
+    yet, no Python). Texts with fewer than ``n`` tokens yield an empty
+    array."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_vocab(df, text_col: str = "text", *, n: int = 2, top_k: int = 100):
+    """Corpus-wide top-k word n-grams — the vocabulary-building pass of a
+    training-data pipeline.
+
+    Scale shape: explode → ``groupBy(ngram).count()`` (map-side
+    combinable partial aggregation, one shuffle of the distinct grams) →
+    ``orderBy(count desc, ngram).limit(k)`` which Spark executes as
+    TakeOrdered (per-partition top-k + driver merge of k×partitions rows,
+    never a global sort). The tie-break on the gram string makes the k
+    boundary deterministic."""
+    grams = df.select(F.explode(ngram_cols(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(top_k)
+    )

@@ -64,3 +64,51 @@ def test_fingerprint_whitespace_invariant(spark):
     df = spark.createDataFrame([(1, "a  b   c"), (2, "a b c")], "doc_id long, text string")
     vals = [r["v"] for r in df.select(TA.doc_fingerprint_col("text").alias("v")).collect()]
     assert vals[0] == vals[1]
+
+
+def test_ngram_vocab_counts_and_ties(spark):
+    from crawlee_spark.functions.text_analysis import ngram_vocab
+
+    df = spark.createDataFrame(
+        [("the cat sat on the cat mat",), ("the cat sat",), ("one",), ("",)],
+        "text string",
+    )
+    rows = [(r["ngram"], r["cnt"]) for r in ngram_vocab(df, n=2, top_k=3).collect()]
+    # deterministic: count desc, then lexical on the gram
+    assert rows == [("the cat", 3), ("cat sat", 2), ("cat mat", 1)]
+    # trigram path + short-text guard (fewer than n tokens -> no grams)
+    tri = {r["ngram"] for r in ngram_vocab(df, n=3, top_k=10).collect()}
+    assert "the cat sat" in tri and "one" not in tri
+
+
+def test_ngram_vocab_plan_is_takeordered(spark):
+    from crawlee_spark.functions.text_analysis import ngram_vocab
+    from tests.test_plans import explain_str
+
+    plan = explain_str(
+        ngram_vocab(spark.createDataFrame([("a b c",)], "text string"), n=2, top_k=5),
+        "simple",
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_pii_redaction_order_and_counts(spark):
+    from crawlee_spark.functions.pii import pii_count_cols, redact_pii_col
+
+    txt = (
+        "mail bob.smith+x@sub.ex.com, backup carol@ex.org; call +1 (413) 555-0012 "
+        "or 0611-22-33-44, server 192.168.250.7, card 4111-1111-1111-1111 done"
+    )
+    df = spark.createDataFrame([(txt,), (None,), ("no pii here",)], "text string")
+    counts = pii_count_cols("text")
+    out = df.select(
+        redact_pii_col("text").alias("r"), *[v.alias(k) for k, v in counts.items()]
+    ).collect()
+    r0 = out[0]
+    assert r0["r"] == (
+        "mail [EMAIL], backup [EMAIL]; call [PHONE] or [PHONE], "
+        "server [IP], card [CC] done"
+    )
+    assert (r0["n_emails"], r0["n_ips"], r0["n_cards"], r0["n_phones"]) == (2, 1, 1, 2)
+    assert out[1]["r"] is None  # null text passes through
+    assert out[2]["r"] == "no pii here" and out[2]["n_emails"] == 0
