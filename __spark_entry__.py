@@ -908,6 +908,25 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact duplication (dedup.repeated_span_stats): 8-token
+    spans repeated across >= 2 distinct documents — the boilerplate-passage
+    pass document-level dedup misses. Fixture injects a shared footer on
+    every third document so repeated spans provably exist; the oracle
+    recomputes the md5 span hashes byte-for-byte."""
+    from crawlee_spark.operators.dedup import repeated_span_stats
+
+    d = _docs(spark, sf_dir)
+    footer = " copyright example corp all rights reserved contact support team"
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(footer)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_span_stats(src, window=8, min_docs=2)
+
+
 def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-100 word bigrams (text_analysis.ngram_vocab): the
     vocabulary-building pass — map-side-combinable count, TakeOrdered
@@ -959,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_handlers": q_request_handlers,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
     }
 
 
@@ -1681,5 +1701,29 @@ g AS (SELECT w[i + 1] || ' ' || w[i + 2] AS ngram FROM idx)
 SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
 FROM g GROUP BY ngram
 ORDER BY cnt DESC, ngram LIMIT 100
+""",
+        "dedup_repeated_spans": r"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN text || ' copyright example corp all rights reserved contact support team'
+      ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM src
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t
+),
+s AS (
+  SELECT doc_id, md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash FROM idx
+)
+SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM s GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
 """,
     }

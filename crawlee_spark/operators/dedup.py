@@ -385,3 +385,50 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact duplication (repeated n-gram spans)
+# ---------------------------------------------------------------------------
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated passages: every ``window``-token span is
+    hashed (md5 of the space-joined tokens) and spans appearing in at least
+    ``min_docs`` DISTINCT documents are reported with occurrence stats —
+    the passage-level exact-duplication pass of a training-data pipeline
+    (document-level exact/near dedup misses boilerplate repeated INSIDE
+    otherwise-unique documents).
+
+    Output: (span_hash, n_docs, n_occurrences, first_doc_id) — first_doc_id
+    is the deterministic survivor (min doc id containing the span).
+
+    Scale shape: the span explosion is map-side (one row per token, same
+    order as the scan); the only shuffle is the groupBy on span_hash with
+    map-side partial aggregation, and the ``min_docs`` filter runs on the
+    aggregated (distinct-hash-sized) frame. Hashes are md5 hex — the
+    DuckDB oracle recomputes them byte-for-byte."""
+    toks = tokens_col(F.col(text_col))
+    spans = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -139,6 +139,12 @@ class CrawlOptions:
     # CriticalError, basic-crawler.ts:1889); a handler THROW is retryable
     # exactly like a fetch error (basic-crawler.ts:1880-1941).
     handlers: "dict[str | None, RequestHandler] | None" = None
+    # Per-label enqueueLinks options: in the reference each route's handler
+    # calls enqueueLinks with its OWN globs/strategy/label (the canonical
+    # listing->detail pattern). Maps the ORIGIN page's label to the
+    # EnqueueOptions its discovered links are gated with; labels without an
+    # entry (and null labels) use the None entry, else `enqueue`.
+    enqueue_by_label: "dict[str | None, EnqueueOptions] | None" = None
     # errorHandler (basic-crawler.ts:1896-1899): set-wise hook over the
     # round's would-retry slice, AFTER the error is pushed and BEFORE
     # retry_count increments. fn(pdf) -> pd.DataFrame may return mutated
@@ -618,6 +624,7 @@ class CrawlEngine:
                 extracted.join(F.broadcast(ranks), "order_no")
                 .select(
                     F.col("url").alias("origin_url"),
+                    F.col("label").alias("origin_label"),
                     F.col("_parent_rank"),
                     (F.col("crawl_depth") + 1).alias("crawl_depth"),
                     F.posexplode_outer("_links").alias("_pos", "url"),
@@ -634,10 +641,7 @@ class CrawlEngine:
             else:
                 links = links.withColumn("robots_txt", F.lit(None).cast("string"))
                 robots_col = "robots_txt"
-            opts = self.options.enqueue
-            if self.options.max_crawl_depth is not None and opts.max_crawl_depth is None:
-                opts = EnqueueOptions(**{**opts.__dict__, "max_crawl_depth": self.options.max_crawl_depth})
-            accepted, skipped = gate_candidates(links, opts, robots_txt_col=robots_col)
+            accepted, skipped = self._gate_links(links, robots_col)
             skipped.withColumn("round_id", F.lit(round_id)).write.mode("append").parquet(self.skipped_dir)
             # deterministic arrival order: (parent rank in this round, position
             # on page). 32-bit stride: parent rank is bounded by the per-round
@@ -648,18 +652,19 @@ class CrawlEngine:
             accepted = accepted.withColumn(
                 "_arrival",
                 F.shiftleft(F.col("_parent_rank").cast("long"), 32) + F.col("_pos"),
-            ).drop("_parent_rank", "_pos", "robots_txt")
+            ).drop("_parent_rank", "_pos", "robots_txt", "origin_label")
             budget = self._remaining_budget()
-            if opts.limit is not None:
-                budget = opts.limit if budget is None else min(budget, opts.limit)
+            limit = self.options.enqueue.limit
+            if limit is not None:
+                budget = limit if budget is None else min(budget, limit)
             carry = [
                 c for c in ("label", "user_data", "method", "payload")
-                if c in accepted.columns  # F3 per-pattern overrides
+                if c in accepted.columns  # F3 per-pattern / base-label overrides
             ]
             shaped = candidates_to_requests(
                 accepted.select(
-                    "url", "crawl_depth", "_arrival", *carry,
-                    F.lit(opts.strategy).alias("enqueue_strategy"),  # recorded for F2
+                    # enqueue_strategy stamped per gate segment (recorded for F2)
+                    "url", "crawl_depth", "_arrival", "enqueue_strategy", *carry,
                 ),
                 forefront=False,
             )
@@ -822,6 +827,52 @@ class CrawlEngine:
         )
         self.store._manifest["order_seq"] = new_seq_base + r_span
         return updated.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+    # -- enqueue gating (global or per origin label) -------------------------
+    def _merged_opts(self, o: EnqueueOptions) -> EnqueueOptions:
+        if self.options.max_crawl_depth is not None and o.max_crawl_depth is None:
+            return EnqueueOptions(**{**o.__dict__, "max_crawl_depth": self.options.max_crawl_depth})
+        return o
+
+    def _gate_links(self, links: DataFrame, robots_col: str):
+        """Gate discovered links: one ``gate_candidates`` pass, or — with
+        ``enqueue_by_label`` — one pass per ORIGIN label, mirroring each
+        route's own enqueueLinks call in the reference (the listing->detail
+        pattern: a listing page's links get the detail globs + label).
+
+        Scale shape: the per-label split is filters over the same links
+        frame (no shuffle, no extra scan of anything upstream — the frame
+        derives from the checkpointed round), and the gated segments union
+        by name. The accepted frame always carries ``enqueue_strategy``
+        (per segment) for the F2 redirect re-check."""
+
+        def one(part: DataFrame, o: EnqueueOptions):
+            o = self._merged_opts(o)
+            acc, skip = gate_candidates(part, o, robots_txt_col=robots_col)
+            return acc.withColumn("enqueue_strategy", F.lit(o.strategy)), skip
+
+        by_label = self.options.enqueue_by_label
+        if not by_label:
+            return one(links, self.options.enqueue)
+        explicit = [l for l in by_label if l is not None]
+        default_opts = by_label.get(None, self.options.enqueue)
+        segments = [
+            one(links.filter(F.col("origin_label") == lbl), by_label[lbl])
+            for lbl in explicit
+        ]
+        rest = (
+            links.filter(
+                F.col("origin_label").isNull() | ~F.col("origin_label").isin(explicit)
+            )
+            if explicit
+            else links
+        )
+        segments.append(one(rest, default_opts))
+        acc, skip = segments[0]
+        for a, s in segments[1:]:
+            acc = acc.unionByName(a, allowMissingColumns=True)
+            skip = skip.unionByName(s)
+        return acc, skip
 
     # -- user hooks (C13 Router dispatch + error hooks) ----------------------
     def _apply_request_handlers(self, classified: DataFrame, can_retry) -> DataFrame:

@@ -163,6 +163,15 @@ class EnqueueOptions:
     patterns: tuple[UrlPattern, ...] = ()
     max_crawl_depth: int | None = None
     limit: int | None = None
+    # plain enqueueLinks({label, userData}) shorthands (enqueue_links.ts:53-62,
+    # createRequestOptions shared.ts:261-268): applied to every accepted
+    # candidate; a matching pattern object's own override wins (the pattern
+    # chain runs after, with these as its fallback)
+    label: str | None = None
+    user_data: str | None = None
+    # F4 transformRequestFunction (shared.ts:299-305) carried with the
+    # options so per-label option sets bring their own transform
+    transform: "object | None" = None
 
 
 def strategy_predicate(strategy: str, url: Column, origin_url: Column) -> Column:
@@ -265,6 +274,13 @@ def gate_candidates(
 
     tagged = links.withColumn("_skip_reason", reason)
     accepted = tagged.filter(F.col("_skip_reason").isNull()).drop("_skip_reason")
+    # plain label/userData options stamp every accepted candidate
+    # (createRequestOptions, shared.ts:261-268) BEFORE the pattern chain, so
+    # a matching pattern's own override wins via the chain's fallback
+    for base_field in ("label", "user_data"):
+        base_val = getattr(options, base_field)
+        if base_val is not None:
+            accepted = accepted.withColumn(base_field, F.lit(base_val))
     # per-pattern requestOptions: the FIRST matching pattern's non-null
     # overrides replace the candidate's values (shared.ts:190-205) — a
     # when-chain in declaration order, all JVM-side
@@ -284,6 +300,7 @@ def gate_candidates(
                 val = F.lit(v) if v is not None else existing
                 expr = F.when(m, val) if expr is None else expr.when(m, val)
             accepted = accepted.withColumn(col_name, expr.otherwise(existing))
+    transform = transform if transform is not None else options.transform
     if transform is not None:
         accepted = transform(accepted)
     skipped = (

@@ -133,3 +133,29 @@ def test_simhash_rotation_rejects_large_k(spark):
     df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(df, block_col=None, max_hamming=4)
+
+
+def test_repeated_span_stats(spark):
+    """Passage-level exact duplication: spans shared across documents are
+    found; within-document repetition alone does not satisfy min_docs."""
+    from crawlee_spark.operators.dedup import repeated_span_stats
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens -> 2 spans
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} and more words follow here"),
+            (2, f"other lead-in text {shared} trailing content"),
+            (3, "totally different words with no shared passages at all today"),
+            # doc 4 repeats a span INTERNALLY twice but shares it with nobody
+            (4, "aa bb cc dd ee ff gg hh zz aa bb cc dd ee ff gg hh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_span_stats(df, window=8, min_docs=2).collect()
+    assert len(rows) == 2  # the two 8-token windows of the shared passage
+    for r in rows:
+        assert r["n_docs"] == 2 and r["n_occurrences"] == 2 and r["first_doc_id"] == 1
+    # min_docs=1 additionally surfaces doc 4's internal repetition
+    solo = repeated_span_stats(df, window=8, min_docs=1)
+    internal = solo.filter("first_doc_id = 4 and n_occurrences >= 2").collect()
+    assert any(r["n_docs"] == 1 for r in internal)

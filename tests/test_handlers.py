@@ -264,3 +264,61 @@ def test_error_handler_no_retry_finalizes_failure(spark, tmp_store_dir):
     assert failed_out[0]["url"] == "https://h1.example.com/a"
     assert failed_out[0]["n_errors"] == 1
     assert failed_out[0]["last_error"].startswith("ValueError: fatal-ish")
+
+
+def test_enqueue_by_label_listing_detail(spark, tmp_store_dir):
+    """Per-label enqueueLinks (the reference's canonical listing->detail
+    routing: each route's handler calls enqueueLinks with its own globs +
+    label): links from 'listing' pages pass the detail glob and get the
+    detail label; links from unlabeled pages use the default options."""
+    L, P = "https://h1.example.com/listing", "https://h1.example.com/plain"
+    pages_rows = [
+        (L, "<html><body><a href='/detail/1'>d</a><a href='/other/1'>o</a></body></html>"),
+        (P, "<html><body><a href='/detail/2'>d</a><a href='/other/2'>o</a></body></html>"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            {
+                "url": u,
+                "warc_ts": dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+                "html": h.encode(),
+                "text": None,
+                "lang": "en",
+                "status_code": 200,
+                "content_type": "text/html; charset=utf-8",
+            }
+            for u, h in pages_rows
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "status_code int, content_type string",
+    )
+    store = FrontierStore(spark, tmp_store_dir, num_partitions=2)
+    engine = CrawlEngine(
+        spark=spark,
+        store=store,
+        pages=pages,
+        policy=PolitenessPolicy(max_concurrency=50, per_host_cap=50, salt_buckets=2),
+        options=CrawlOptions(
+            max_rounds=1,
+            enqueue_by_label={
+                "listing": EnqueueOptions(
+                    strategy="all", globs=("**/detail/*",), label="detail"
+                ),
+                None: EnqueueOptions(strategy="all", exclude_globs=("**/detail/*",)),
+            },
+        ),
+    )
+    engine.add_seeds(
+        spark.createDataFrame([(L, "listing"), (P, None)], "url string, label string")
+    )
+    engine.run_round()
+    fresh = {
+        r["url"]: r["label"]
+        for r in store.read().filter(F.col("crawl_depth") == 1).collect()
+    }
+    assert fresh == {
+        # from the listing page: only the detail glob survives, stamped 'detail'
+        "https://h1.example.com/detail/1": "detail",
+        # from the plain page: default options exclude detail links
+        "https://h1.example.com/other/2": None,
+    }
