@@ -36,7 +36,10 @@ def make_pages(spark, n: int):
     return spark.range(n).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
 
 
-def run(mor: bool, pages_n: int, rounds: int, cpus: int, concurrency: int = 2_000) -> dict:
+def run(
+    mor: bool, pages_n: int, rounds: int, cpus: int, concurrency: int = 2_000,
+    with_handler: bool = False,
+) -> dict:
     from crawlee_spark.operators.engine import CrawlEngine, CrawlOptions
     from crawlee_spark.operators.enqueue import EnqueueOptions
     from crawlee_spark.operators.frontier import FrontierStore
@@ -59,6 +62,25 @@ def run(mor: bool, pages_n: int, rounds: int, cpus: int, concurrency: int = 2_00
         policy=PolitenessPolicy(max_concurrency=concurrency, per_host_cap=max(2, concurrency // 1000)),
         options=CrawlOptions(enqueue=EnqueueOptions(strategy="same-hostname"), max_rounds=rounds),
     )
+    if with_handler:
+        # measure the user-hook stage's cost: a real (but cheap) pandas
+        # handler on the default route — Arrow round-trip + dispatch join +
+        # the second checkpoint, i.e. everything the hook machinery adds
+        from pyspark.sql import types as T
+
+        from crawlee_spark.operators.handlers import RequestHandler
+
+        def wc(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"n_words": pdf["extracted_text"].fillna("").str.split().str.len()}
+            )
+
+        engine.options.handlers = {
+            None: RequestHandler(wc, T.StructType([T.StructField("n_words", T.LongType())]))
+        }
+        engine._handler_extra_names = ["n_words"]
     bc = os.environ.get("SPARK_GRAFT_CLAIMS_BC_MAX")  # A/B the fetch-join pruning
     if bc is not None:
         engine.claims_broadcast_max_rows = int(bc)
@@ -98,9 +120,12 @@ def main():
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--concurrency", type=int, default=2_000)
     ap.add_argument("--mor-only", action="store_true", help="skip the full-snapshot variant")
+    ap.add_argument("--with-handler", action="store_true", help="attach a pandas requestHandler")
     args = ap.parse_args()
     for mor in ((True,) if args.mor_only else (False, True)):
-        print(json.dumps(run(mor, args.pages, args.rounds, args.cpus, args.concurrency)))
+        out = run(mor, args.pages, args.rounds, args.cpus, args.concurrency, args.with_handler)
+        out["with_handler"] = args.with_handler
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
