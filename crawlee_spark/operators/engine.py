@@ -428,9 +428,23 @@ class CrawlEngine:
         from crawlee_spark.operators.enqueue import matches_enqueue_strategy_col
 
         strategy_ok = matches_enqueue_strategy_col("url", "loaded_url", "enqueue_strategy")
+        # request.skipNavigation (request.ts:268-277: stored in
+        # userData.__crawlee.skipNavigation — same wire format here): the
+        # fetch outcome is ignored entirely (http-crawler.ts:519 skips
+        # navigation, response parsing, blocked/status gating and the
+        # redirect re-check) and the request goes straight to the handler
+        # stage as a success with no parsed body. The robots re-check still
+        # applies — it runs before _runRequestHandler in the reference.
+        skip_nav = F.coalesce(
+            F.get_json_object(F.col("user_data"), "$.__crawlee.skipNavigation").cast(
+                "boolean"
+            ),
+            F.lit(False),
+        )
         classified = fetched.withColumn(
             "_outcome",
             F.when(~F.col("_robots_ok"), F.lit("skip_robots"))
+            .when(skip_nav, F.lit("success"))
             .when(
                 # blocked statuses BEFORE the redirect-strategy recheck:
                 # _throwOnBlockedRequest (http-crawler.ts:547) fires before
@@ -481,12 +495,18 @@ class CrawlEngine:
         # probe (E9): a 200 carrying a challenge page is reclassified as a
         # session error exactly like a blocked status code
         # (isRequestBlocked, http-crawler.ts:600-614 → SessionError path).
-        succ0 = classified.filter(F.col("_outcome") == "success")
+        succ0 = classified.filter((F.col("_outcome") == "success") & ~skip_nav)
         rest = (
-            classified.filter(F.col("_outcome") != "success")
+            classified.filter((F.col("_outcome") != "success") | skip_nav)
             .withColumn("extracted_text", F.lit(None).cast("string"))
             .withColumn("_links", F.lit(None).cast("array<string>"))
             .withColumn("_blocked_sel", F.lit(None).cast("array<string>"))
+            # no navigation -> no response url: request.loadedUrl stays unset
+            # even when the pages source happens to carry a row for the url
+            .withColumn(
+                "loaded_url",
+                F.when(skip_nav, F.lit(None).cast("string")).otherwise(F.col("loaded_url")),
+            )
         )
         ext = succ0.withColumn(
             "_page",

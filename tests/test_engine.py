@@ -563,3 +563,35 @@ def test_fetch_join_pruning_is_size_adaptive(spark, tmp_store_dir, tmp_path):
     # and the pruned engine still crawls correctly end to end
     e3.run(spark.createDataFrame([("https://a.com/x",)], "url string"))
     assert e3.results().count() == 1
+
+
+def test_skip_navigation_requests_bypass_fetch(spark, tmp_store_dir, pages):
+    """request.skipNavigation (userData.__crawlee.skipNavigation,
+    request.ts:268-277; http-crawler.ts:519): the fetch outcome is ignored —
+    a skip-nav request with NO page row is NOT a fetch error, one WITH a
+    page row is not parsed — and the request finalizes handled with no
+    loadedUrl and no extracted text or links."""
+    from crawlee_spark.sources.fixtures import make_pages_rows
+
+    real = make_pages_rows(N_PAGES)[0]["url"]
+    ghost = "https://nowhere.example.com/not-in-source"
+    skip_ud = '{"__crawlee":{"skipNavigation":true}}'
+    seeds = spark.createDataFrame(
+        [(real, skip_ud), (ghost, skip_ud)], "url string, user_data string"
+    )
+    engine = build_engine(
+        spark, tmp_store_dir, pages,
+        options=CrawlOptions(max_rounds=2, enqueue=EnqueueOptions(strategy="all")),
+    )
+    engine.add_seeds(seeds)
+    engine.run(None)
+    rows = {r["url"]: r for r in engine.store.read().collect()}
+    assert set(rows) == {real, ghost}  # no links followed: nothing extracted
+    for r in rows.values():
+        assert r["handled_at"] is not None and not r["failed"]
+        assert r["error_messages"] is None
+    results = {r["url"]: r for r in engine.results().collect()}
+    assert set(results) == {real, ghost}
+    for r in results.values():
+        assert r["text"] is None
+        assert r["loaded_url"] == r["url"]  # no navigation -> no response url
