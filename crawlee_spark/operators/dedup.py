@@ -398,6 +398,7 @@ def repeated_span_stats(
     *,
     window: int = 8,
     min_docs: int = 2,
+    sample_every: int = 1,
 ) -> DataFrame:
     """Cross-document repeated passages: every ``window``-token span is
     hashed (md5 of the space-joined tokens) and spans appearing in at least
@@ -413,7 +414,16 @@ def repeated_span_stats(
     order as the scan); the only shuffle is the groupBy on span_hash with
     map-side partial aggregation, and the ``min_docs`` filter runs on the
     aggregated (distinct-hash-sized) frame. Hashes are md5 hex — the
-    DuckDB oracle recomputes them byte-for-byte."""
+    DuckDB oracle recomputes them byte-for-byte.
+
+    At the 100 TB design point MOST spans are unique, so combiners barely
+    shrink the shuffle (~one row per corpus token). ``sample_every=N``
+    applies the standard fix: keep only spans whose hash lands in a 1/N
+    band — a deterministic uniform sample of SPAN IDENTITIES (every
+    occurrence of a kept span is kept, so each surviving span's n_docs /
+    n_occurrences stats stay EXACT; the sample drops ~(N-1)/N of the
+    boilerplate passages, unbiased w.r.t. content). Shuffle shrinks N×;
+    run a few disjoint bands to raise coverage."""
     toks = tokens_col(F.col(text_col))
     spans = F.when(
         F.size(toks) >= window,
@@ -423,6 +433,12 @@ def repeated_span_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+    if sample_every > 1:
+        # first 8 hex chars as an int: uniform over spans, identical for
+        # every occurrence of the same span (a pushdown-able map-side filter)
+        exploded = exploded.filter(
+            F.conv(F.substring("span_hash", 1, 8), 16, 10).cast("long") % sample_every == 0
+        )
     return (
         exploded.groupBy("span_hash")
         .agg(

@@ -143,7 +143,10 @@ class CrawlOptions:
     # calls enqueueLinks with its OWN globs/strategy/label (the canonical
     # listing->detail pattern). Maps the ORIGIN page's label to the
     # EnqueueOptions its discovered links are gated with; labels without an
-    # entry (and null labels) use the None entry, else `enqueue`.
+    # entry (and null labels) use the None entry, else `enqueue`. Gating
+    # options only — the enqueue BUDGET (`limit`) stays global and is read
+    # from `enqueue` (per-label limits would need per-label TakeOrdered
+    # cuts; the reference's limit is likewise per-call, not per-label).
     enqueue_by_label: "dict[str | None, EnqueueOptions] | None" = None
     # errorHandler (basic-crawler.ts:1896-1899): set-wise hook over the
     # round's would-retry slice, AFTER the error is pushed and BEFORE

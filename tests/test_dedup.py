@@ -159,3 +159,27 @@ def test_repeated_span_stats(spark):
     solo = repeated_span_stats(df, window=8, min_docs=1)
     internal = solo.filter("first_doc_id = 4 and n_occurrences >= 2").collect()
     assert any(r["n_docs"] == 1 for r in internal)
+
+
+def test_repeated_span_sampling_is_exact_subset(spark):
+    """sample_every keeps a deterministic 1/N band of span IDENTITIES: the
+    sampled result is a subset of the full result with IDENTICAL stats for
+    every surviving span (occurrences are never partially dropped)."""
+    from crawlee_spark.operators.dedup import repeated_span_stats
+
+    docs = [
+        (i, f"w{i} " + " ".join(f"t{j}" for j in range(12)) + f" tail{i % 3} common ending words here now")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {r["span_hash"]: r for r in repeated_span_stats(df, window=6, min_docs=2).collect()}
+    sampled = {
+        r["span_hash"]: r
+        for r in repeated_span_stats(df, window=6, min_docs=2, sample_every=3).collect()
+    }
+    assert 0 < len(sampled) < len(full)
+    for h, r in sampled.items():
+        f = full[h]
+        assert (r["n_docs"], r["n_occurrences"], r["first_doc_id"]) == (
+            f["n_docs"], f["n_occurrences"], f["first_doc_id"],
+        )
