@@ -175,12 +175,16 @@ def doc_fingerprint_col(text: Column | str) -> Column:
     )
 
 
-def ngram_cols(text: Column | str, n: int = 2) -> Column:
-    """Array of word n-grams (space-joined) over the whitespace tokens —
-    a sliding window via ``transform`` over an index sequence (no explode
-    yet, no Python). Texts with fewer than ``n`` tokens yield an empty
-    array."""
-    toks = tokens_col(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token-array Column — a
+    sliding window via ``transform`` over an index sequence (no explode
+    yet, no Python). Fewer than ``n`` tokens yields an empty array.
+
+    Pass a MATERIALIZED column (an alias projected in a prior select), not
+    an inline ``tokens_col(text)`` expression: transform lambdas re-evaluate
+    their child expressions per element, so an embedded split would re-run
+    over the whole text once per gram — O(len²) per document (the minhash
+    lesson, see dedup.with_minhash_bands)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -190,17 +194,29 @@ def ngram_cols(text: Column | str, n: int = 2) -> Column:
     )
 
 
+def ngram_cols(text: Column | str, n: int = 2) -> Column:
+    """Inline-convenience form of ``ngrams_from_tokens`` for SHORT texts —
+    the embedded tokenizer re-runs per gram (see ngrams_from_tokens); bulk
+    paths (``ngram_vocab``) materialize the token array first."""
+    return ngrams_from_tokens(tokens_col(text), n)
+
+
 def ngram_vocab(df, text_col: str = "text", *, n: int = 2, top_k: int = 100):
     """Corpus-wide top-k word n-grams — the vocabulary-building pass of a
     training-data pipeline.
 
-    Scale shape: explode → ``groupBy(ngram).count()`` (map-side
-    combinable partial aggregation, one shuffle of the distinct grams) →
-    ``orderBy(count desc, ngram).limit(k)`` which Spark executes as
-    TakeOrdered (per-partition top-k + driver merge of k×partitions rows,
-    never a global sort). The tie-break on the gram string makes the k
-    boundary deterministic."""
-    grams = df.select(F.explode(ngram_cols(F.col(text_col), n)).alias("ngram"))
+    Scale shape: tokens materialize as a column first (the split runs once
+    per document, not once per gram — CollapseProject keeps the projection
+    because the alias is referenced three times), the input re-spreads
+    across cores (small corpora arrive as one parquet split), then explode
+    → ``groupBy(ngram).count()`` (map-side combinable partial aggregation,
+    one shuffle of the distinct grams) → ``orderBy(count desc,
+    ngram).limit(k)`` which Spark executes as TakeOrdered (per-partition
+    top-k + driver merge, never a global sort). The tie-break on the gram
+    string makes the k boundary deterministic."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(tokens_col(F.col(text_col)).alias("_toks"))
+    grams = toks.select(F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count("*").alias("cnt"))

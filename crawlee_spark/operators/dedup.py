@@ -424,7 +424,15 @@ def repeated_span_stats(
     n_occurrences stats stay EXACT; the sample drops ~(N-1)/N of the
     boilerplate passages, unbiased w.r.t. content). Shuffle shrinks N×;
     run a few disjoint bands to raise coverage."""
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array FIRST (transform lambdas re-evaluate child
+    # expressions per element: an inline split would re-tokenize the whole
+    # text once per span — O(len²)/doc; the minhash lesson) and re-spread
+    # single-split inputs before the per-row hashing
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok_frame = spread.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     spans = F.when(
         F.size(toks) >= window,
         F.transform(
@@ -432,7 +440,7 @@ def repeated_span_stats(
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+    exploded = tok_frame.select("doc_id", F.explode(spans).alias("span_hash"))
     if sample_every > 1:
         # first 8 hex chars as an int: uniform over spans, identical for
         # every occurrence of the same span (a pushdown-able map-side filter)

@@ -138,12 +138,32 @@ def _wrap(fn: Callable, extra_fields: list[T.StructField]):
     return gen
 
 
+def _reserved_output_cols() -> frozenset:
+    from crawlee_spark.operators.frontier import FRONTIER_SCHEMA
+
+    return (
+        frozenset(HANDLER_INPUT_COLS)
+        | frozenset(f.name for f in FRONTIER_SCHEMA.fields)
+        | {_ERR_COL, "_eh", "_outcome", "_error", "_links", "_blocked_sel"}
+    )
+
+
 def merged_extra_fields(handlers: dict) -> list[T.StructField]:
     """Union of every route's extra-column schema (results-dataset columns).
-    A name declared by two routes must agree on type."""
+    A name declared by two routes must agree on type; names that collide
+    with engine/frontier columns are rejected UP FRONT — a duplicate
+    'label' or 'url' column would otherwise surface mid-crawl as an
+    AMBIGUOUS_REFERENCE after the extras join."""
+    reserved = _reserved_output_cols()
     merged: dict[str, T.StructField] = {}
     for h in handlers.values():
         for fld in h.output_schema.fields:
+            if fld.name in reserved:
+                raise ValueError(
+                    f"handler output column '{fld.name}' collides with an "
+                    "engine column; pick a different name (mutating request "
+                    "fields is the errorHandler's job, not a result column)"
+                )
             prev = merged.get(fld.name)
             if prev is not None and prev.dataType != fld.dataType:
                 raise ValueError(

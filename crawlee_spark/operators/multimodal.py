@@ -170,7 +170,12 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, bytes] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
-    if fmt is None or data is None or fmt[0] == 0 or fmt[1] == 0 or fmt[2] == 0:
+    # only whole-byte PCM widths this decoder genuinely handles — a hostile
+    # bits_per_sample of 1-7 would otherwise divide by zero downstream, and
+    # anything else would mis-featurize while claiming a real decode
+    if fmt is None or data is None or fmt[0] == 0 or fmt[1] == 0:
+        return None
+    if fmt[2] not in (8, 16, 24, 32):
         return None
     return (*fmt, data)
 
@@ -331,14 +336,25 @@ def extract_audio_features(
                 wav = _decode_wav(blob) if fmt == "wav" else None
                 if wav is not None:
                     channels, rate, bits, data = wav
-                    dur = len(data) * 1000 // (rate * channels * (bits // 8))
+                    width = bits // 8
+                    dur = len(data) * 1000 // (rate * channels * width)
+                    n = min(feat_dim, len(data) // width)
                     if bits == 16:
-                        n = min(feat_dim, len(data) // 2)
                         samples = struct.unpack_from(f"<{n}h", data, 0)
-                        feat = [s / 32768.0 for s in samples] + [0.0] * (feat_dim - n)
+                        feat = [s / 32768.0 for s in samples]
+                    elif bits == 32:
+                        samples = struct.unpack_from(f"<{n}i", data, 0)
+                        feat = [s / 2147483648.0 for s in samples]
+                    elif bits == 24:  # 3-byte little-endian two's complement
+                        feat = []
+                        for k in range(n):
+                            v = int.from_bytes(
+                                data[3 * k : 3 * k + 3], "little", signed=True
+                            )
+                            feat.append(v / 8388608.0)
                     else:  # 8-bit PCM is unsigned
-                        n = min(feat_dim, len(data))
-                        feat = [(b - 128) / 128.0 for b in data[:n]] + [0.0] * (feat_dim - n)
+                        feat = [(b - 128) / 128.0 for b in data[:n]]
+                    feat = feat + [0.0] * (feat_dim - n)
                 elif strict:
                     raise NotImplementedError(
                         f"no codec for format '{fmt}' in this environment "

@@ -66,10 +66,11 @@ class RequestList:
         oc = order_col or "url"
         ranks = global_row_number(df.select(oc).distinct(), oc, col_name="_rl_rank")
         # 0-based list position; order column must be unique (list order is
-        # the contract — ties would make resume validation meaningless)
-        return df.join(F.broadcast(ranks), oc).withColumn(
-            "_rl_rank", F.col("_rl_rank") - 1
-        )
+        # the contract — ties would make resume validation meaningless).
+        # The rank map is LIST-sized (one row per request), so no broadcast
+        # hint: a 20 M-url list would be a multi-GB build. AQE picks
+        # broadcast on its own when the list is genuinely small.
+        return df.join(ranks, oc).withColumn("_rl_rank", F.col("_rl_rank") - 1)
 
     def drain(
         self,

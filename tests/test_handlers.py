@@ -322,3 +322,15 @@ def test_enqueue_by_label_listing_detail(spark, tmp_store_dir):
         # from the plain page: default options exclude detail links
         "https://h1.example.com/other/2": None,
     }
+
+
+def test_handler_output_columns_cannot_shadow_engine_columns():
+    """A handler declaring an extras column named like an engine/frontier
+    column (label, url, ...) must fail fast at construction, not as an
+    ambiguous-reference error mid-crawl."""
+    from crawlee_spark.operators.handlers import merged_extra_fields
+
+    with pytest.raises(ValueError, match="collides with an engine column"):
+        merged_extra_fields(
+            {None: RequestHandler(lambda p: p, T.StructType([T.StructField("label", T.StringType())]))}
+        )

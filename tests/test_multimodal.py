@@ -185,3 +185,44 @@ def test_wav_real_decode(spark):
     assert rows[2]["duration_ms"] == 1
     got8 = [round(v * 128) for v in rows[2]["feature"]]
     assert got8 == [0, 127, -128, -64]
+
+
+def test_wav_decode_rejects_subbyte_bits_and_handles_wide_pcm(spark):
+    """A hostile fmt chunk with bits_per_sample < 8 must fall back to the
+    stub (never ZeroDivisionError a task); 24- and 32-bit PCM decode for
+    real instead of byte-garbage features."""
+    import struct
+
+    from crawlee_spark.operators.multimodal import extract_audio_features
+
+    def wav_raw(data, bits, rate=8000):
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * max(bits // 8, 1), max(bits // 8, 1), bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    bad4 = wav_raw(b"\x00" * 64, bits=4)
+    s24 = b"".join(v.to_bytes(3, "little", signed=True) for v in (0, 4194304, -4194304, 8388607))
+    wav24 = wav_raw(s24, bits=24)
+    # float32 features have a 24-bit mantissa: pick samples that round-trip
+    s32 = struct.pack("<4i", 0, 1073741824, -1073741824, 16777216)
+    wav32 = wav_raw(s32, bits=32)
+    df = spark.createDataFrame(
+        [(1, bad4), (2, wav24), (3, wav32)], "doc_id long, content binary"
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df, feat_dim=4).collect()}
+    # bits=4: sniffed wav but NOT decodable -> deterministic stub, no crash
+    assert rows[1]["format"] == "wav" and len(rows[1]["feature"]) == 4
+    got24 = [round(v * 8388608) for v in rows[2]["feature"]]
+    assert got24 == [0, 4194304, -4194304, 8388607]
+    assert rows[2]["duration_ms"] == 4 * 1000 // (8000)  # 4 samples at 8kHz
+    got32 = [round(v * 2147483648) for v in rows[3]["feature"]]
+    assert got32 == [0, 1073741824, -1073741824, 16777216]
+    # strict mode: bits=4 is genuinely undecodable -> raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no codec"):
+        extract_audio_features(
+            spark.createDataFrame([(1, bad4)], "doc_id long, content binary"),
+            feat_dim=2, strict=True,
+        ).collect()

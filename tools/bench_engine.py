@@ -53,15 +53,7 @@ def run(
     pages = make_pages(spark, pages_n)
     pages_dir = os.path.join(root, "pages")
     pages.write.parquet(pages_dir)  # fixed source table, like a WARC store
-    engine = CrawlEngine(
-        spark,
-        store,
-        spark.read.parquet(pages_dir),
-        # small claim vs large frontier: the regime where full-snapshot
-        # rewrites hurt (each round touches ~2k of pages_n rows)
-        policy=PolitenessPolicy(max_concurrency=concurrency, per_host_cap=max(2, concurrency // 1000)),
-        options=CrawlOptions(enqueue=EnqueueOptions(strategy="same-hostname"), max_rounds=rounds),
-    )
+    handlers = None
     if with_handler:
         # measure the user-hook stage's cost: a real (but cheap) pandas
         # handler on the default route — Arrow round-trip + dispatch join +
@@ -77,10 +69,21 @@ def run(
                 {"n_words": pdf["extracted_text"].fillna("").str.split().str.len()}
             )
 
-        engine.options.handlers = {
+        handlers = {
             None: RequestHandler(wc, T.StructType([T.StructField("n_words", T.LongType())]))
         }
-        engine._handler_extra_names = ["n_words"]
+    engine = CrawlEngine(
+        spark,
+        store,
+        spark.read.parquet(pages_dir),
+        # small claim vs large frontier: the regime where full-snapshot
+        # rewrites hurt (each round touches ~2k of pages_n rows)
+        policy=PolitenessPolicy(max_concurrency=concurrency, per_host_cap=max(2, concurrency // 1000)),
+        options=CrawlOptions(
+            enqueue=EnqueueOptions(strategy="same-hostname"), max_rounds=rounds,
+            handlers=handlers,
+        ),
+    )
     bc = os.environ.get("SPARK_GRAFT_CLAIMS_BC_MAX")  # A/B the fetch-join pruning
     if bc is not None:
         engine.claims_broadcast_max_rows = int(bc)
