@@ -927,6 +927,28 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(src, window=8, min_docs=2)
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (dedup.benchmark_contamination — the
+    GPT-3 appendix-C n-gram overlap check): the benchmark is a 12-token
+    slice (tokens 3..14) of every 10th document, so contamination provably
+    exists; the corpus-span side streams map-side against the broadcast
+    benchmark spans."""
+    from crawlee_spark.functions.text_analysis import tokens_col
+    from crawlee_spark.operators.dedup import benchmark_contamination
+
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    bench = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 4, 12), " ").alias("text"),
+        )
+        .filter(F.col("text") != "")
+    )
+    return benchmark_contamination(d, bench, window=8)
+
+
 def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-100 word bigrams (text_analysis.ngram_vocab): the
     vocabulary-building pass — map-side-combinable count, TakeOrdered
@@ -979,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "benchmark_contamination": q_benchmark_contamination,
     }
 
 
@@ -1725,5 +1748,27 @@ SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_occurrences,
   CAST(min(doc_id) AS BIGINT) AS first_doc_id
 FROM s GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+""",
+        "benchmark_contamination": r"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, w[4:15] AS bw FROM t
+  WHERE doc_id % 10 = 0 AND len(w) >= 4
+),
+bidx AS (SELECT bench_id, bw, unnest(range(0, greatest(len(bw) - 7, 0))) AS i FROM bench),
+bspan AS (
+  SELECT DISTINCT bench_id, md5(array_to_string(bw[i + 1 : i + 8], ' ')) AS span_hash
+  FROM bidx
+),
+didx AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t),
+dspan AS (SELECT doc_id, md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash FROM didx)
+SELECT d.doc_id, CAST(count(DISTINCT d.span_hash) AS BIGINT) AS contaminated_spans,
+  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs_hit
+FROM dspan d JOIN bspan b USING (span_hash)
+GROUP BY d.doc_id
 """,
     }

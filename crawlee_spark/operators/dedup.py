@@ -391,6 +391,58 @@ def simhash_pairs(
 # passage-level exact duplication (repeated n-gram spans)
 # ---------------------------------------------------------------------------
 
+def _span_hash_frame(
+    df: DataFrame, id_col: str, text_col: str, window: int, out_id: str
+) -> DataFrame:
+    """(out_id, span_hash) — one row per ``window``-token span, md5 of the
+    space-joined tokens. Tokens materialize as a projected column first
+    (an inline tokenizer would re-run per span — O(len²)/doc) and
+    single-split inputs re-spread before the per-row hashing."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok_frame = spread.select(
+        F.col(id_col).alias(out_id), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    spans = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok_frame.select(out_id, F.explode(spans).alias("span_hash"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents that share any
+    ``window``-token span with an evaluation-benchmark text (the GPT-3
+    appendix-C n-gram overlap check). Returns one row per contaminated
+    document: (doc_id, contaminated_spans = distinct shared span hashes,
+    bench_docs_hit = distinct benchmark items hit).
+
+    Scale shape: the CORPUS spans never shuffle — the benchmark is tiny
+    relative to 100 TB of corpus (~10⁵ eval items), so its distinct
+    (bench_id, span_hash) frame broadcasts into a map-side join against
+    the streaming doc-span explode; the only shuffle is the final groupBy
+    over the (rare) contaminated hits."""
+    d = _span_hash_frame(docs, id_col, text_col, window, "doc_id")
+    b = _span_hash_frame(bench, bench_id_col, bench_text_col, window, "bench_id").distinct()
+    hits = d.join(F.broadcast(b), "span_hash")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("span_hash").alias("contaminated_spans"),
+        F.countDistinct("bench_id").alias("bench_docs_hit"),
+    )
+
+
 def repeated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -424,23 +476,7 @@ def repeated_span_stats(
     n_occurrences stats stay EXACT; the sample drops ~(N-1)/N of the
     boilerplate passages, unbiased w.r.t. content). Shuffle shrinks N×;
     run a few disjoint bands to raise coverage."""
-    # materialize the token array FIRST (transform lambdas re-evaluate child
-    # expressions per element: an inline split would re-tokenize the whole
-    # text once per span — O(len²)/doc; the minhash lesson) and re-spread
-    # single-split inputs before the per-row hashing
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    tok_frame = spread.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
-    )
-    toks = F.col("_toks")
-    spans = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = tok_frame.select("doc_id", F.explode(spans).alias("span_hash"))
+    exploded = _span_hash_frame(df, id_col, text_col, window, "doc_id")
     if sample_every > 1:
         # first 8 hex chars as an int: uniform over spans, identical for
         # every occurrence of the same span (a pushdown-able map-side filter)

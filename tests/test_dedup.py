@@ -183,3 +183,31 @@ def test_repeated_span_sampling_is_exact_subset(spark):
         assert (r["n_docs"], r["n_occurrences"], r["first_doc_id"]) == (
             f["n_docs"], f["n_occurrences"], f["first_doc_id"],
         )
+
+
+def test_benchmark_contamination(spark):
+    """Decontamination: docs sharing an 8-token span with a benchmark item
+    are flagged with exact span/bench counts; clean docs are absent. The
+    corpus-span side must join the benchmark map-side (broadcast) — corpus
+    spans never shuffle before the join."""
+    from crawlee_spark.operators.dedup import benchmark_contamination
+    from tests.test_plans import explain_str
+
+    leak = "the capital of france is paris which is in europe"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"lead-in words {leak} trailing text"),
+            (2, "completely clean document with nothing shared from benchmarks"),
+            (3, f"another page quoting {leak} verbatim"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "bench_id long, text string")
+    out = benchmark_contamination(docs, bench, window=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    for r in rows.values():
+        # 10-token leak -> 3 shared 8-token spans, one benchmark item
+        assert r["contaminated_spans"] == 3 and r["bench_docs_hit"] == 1
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
