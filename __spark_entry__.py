@@ -927,6 +927,24 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(src, window=8, min_docs=2)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (dedup.dup_clusters): iterative
+    min-label connected components over a deterministic pair graph
+    (chain edges + long bridges — multi-hop components, so the propagation
+    loop genuinely iterates); DuckDB recomputes the components with a
+    recursive CTE."""
+    from crawlee_spark.operators.dedup import dup_clusters
+
+    d = _docs(spark, sf_dir)
+    chain = d.filter(F.col("doc_id") % 5 < 2).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    bridge = d.filter(F.col("doc_id") % 20 == 3).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10).alias("id_b")
+    )
+    return dup_clusters(chain.unionByName(bridge))
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination (dedup.benchmark_contamination — the
     GPT-3 appendix-C n-gram overlap check): the benchmark is a 12-token
@@ -1002,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "benchmark_contamination": q_benchmark_contamination,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -1770,5 +1789,22 @@ SELECT d.doc_id, CAST(count(DISTINCT d.span_hash) AS BIGINT) AS contaminated_spa
   CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs_hit
 FROM dspan d JOIN bspan b USING (span_hash)
 GROUP BY d.doc_id
+""",
+        # connected components as a recursive transitive closure: node ->
+        # every reachable node, then min(reachable) = the cluster id
+        "dup_clusters": """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 5 < 2
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 10 AS b FROM documents WHERE doc_id % 20 = 3
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(src, dst) AS (
+  SELECT a AS src, a AS dst FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
 """,
     }

@@ -492,3 +492,64 @@ def repeated_span_stats(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (pairs -> components -> survivor)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Survivor selection over near-duplicate PAIRS: connected components
+    via iterative min-label propagation, returning (doc_id, cluster_id)
+    where cluster_id is the MINIMUM doc id in the component — the
+    deterministic survivor every dedup pipeline keeps. Closes the loop
+    behind ``minhash_lsh_pairs``/``simhash_pairs``/``embedding_neardup``:
+    pairs alone over-delete (A~B, B~C must drop two docs, not three).
+
+    Spark shape (the GraphFrames/Pregel CC pattern, no graph library):
+    symmetrized edge frame pinned once; each iteration is one edge-sized
+    join + one min-aggregation, labels monotonically decrease, and the
+    driver loop stops on a converged (no-change) iteration. Iterations =
+    component diameter — near-dup clusters are shallow (a handful of
+    hops), never the whole corpus. Every iteration localCheckpoints the
+    label frame: lineage stays O(1), not O(iterations)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("_nl")), "b"
+        ).select(F.col("a").alias("node"), F.col("_nl").alias("label"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("_old")), "node"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

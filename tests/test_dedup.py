@@ -211,3 +211,20 @@ def test_benchmark_contamination(spark):
         assert r["contaminated_spans"] == 3 and r["bench_docs_hit"] == 1
     plan = explain_str(out, "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_clusters_transitive_survivors(spark):
+    """Pairs A~B, B~C form ONE cluster with survivor min(id); disjoint
+    pairs stay separate; convergence handles a chain longer than one hop."""
+    from crawlee_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # 4-node chain collapses to min=1
+        10: 10, 11: 10,                   # disjoint pair
+        5: 5, 20: 5, 21: 5, 22: 5,       # bridge edge merges the 20s into 5
+    }
