@@ -927,6 +927,14 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(src, window=8, min_docs=2)
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights (α=0.5 via IEEE sqrt, so the
+    fixed-point weights are engine-exact; ordered cross-domain sum)."""
+    from crawlee_spark.functions.text_analysis import domain_mixture_weights
+
+    return domain_mixture_weights(_docs(spark, sf_dir), "source", alpha_pct=50)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (dedup.dup_clusters): iterative
     min-label connected components over a deterministic pair graph
@@ -1021,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "benchmark_contamination": q_benchmark_contamination,
         "dup_clusters": q_dup_clusters,
+        "domain_mixture": q_domain_mixture,
     }
 
 
@@ -1806,5 +1815,18 @@ reach(src, dst) AS (
 )
 SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
 FROM reach GROUP BY src
+""",
+        # ordered cross-domain double sum (sum(... ORDER BY domain)) mirrors
+        # the Spark ordered-window sum: identical addition order -> identical
+        # IEEE result; sqrt is correctly rounded in both engines
+        "domain_mixture": """
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY domain) AS t FROM counts)
+SELECT domain, n_docs,
+  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / t * 1000000) AS BIGINT) AS weight_e6
+FROM counts, tot
 """,
     }

@@ -223,3 +223,52 @@ def ngram_vocab(df, text_col: str = "text", *, n: int = 2, top_k: int = 100):
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def domain_mixture_weights(
+    df, domain_col: str = "source", *, alpha_pct: int = 50
+) -> "DataFrame":
+    """Temperature-scaled domain sampling weights — the data-mixing step of
+    corpus curation (up-weight small/quality domains, damp the head:
+    weight_d ∝ count_d^α with α = alpha_pct/100; α=100 is proportional,
+    α=0 uniform).
+
+    Output: (domain, n_docs, weight_e6) with weight_e6 = floor(10⁶ ·
+    count^α / Σ count^α) — fixed-point so an independent engine reproduces
+    it exactly (pow/sqrt over integer counts are correctly-rounded IEEE
+    doubles, bit-identical across engines; the cross-domain SUM runs over
+    a deterministically ORDERED tiny driver-side frame, never a
+    partition-order float reduction).
+
+    Scale shape: one map-side-combinable count per domain (the only
+    shuffle); the normalization happens on the aggregated frame, which is
+    domain-cardinality-sized (~10⁵ rows at web scale)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n = F.col("n_docs").cast("double")
+    # α=50 and α=100 go through sqrt/identity — IEEE-correctly-rounded, so
+    # the fixed-point output is bit-identical across engines; generic pow is
+    # only ~1-ulp accurate (fine for mixing, not for an exactness oracle)
+    if alpha_pct == 50:
+        raw = F.sqrt(n)
+    elif alpha_pct == 100:
+        raw = n
+    else:
+        raw = F.pow(n, F.lit(alpha_pct / 100.0))
+    scored = counts.withColumn("_raw", raw)
+    # cross-row double sum ordered by domain: deterministic regardless of
+    # partitioning (the frame is tiny — domain cardinality — so a single
+    # ordered window is safe here, unlike row-scale frames)
+    total = F.sum("_raw").over(
+        Window.orderBy("domain").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return scored.select(
+        "domain",
+        "n_docs",
+        F.floor(F.col("_raw") / total * 1_000_000).cast("long").alias("weight_e6"),
+    )

@@ -112,3 +112,17 @@ def test_pii_redaction_order_and_counts(spark):
     assert (r0["n_emails"], r0["n_ips"], r0["n_cards"], r0["n_phones"]) == (2, 1, 1, 2)
     assert out[1]["r"] is None  # null text passes through
     assert out[2]["r"] == "no pii here" and out[2]["n_emails"] == 0
+
+
+def test_domain_mixture_weights(spark):
+    from crawlee_spark.functions.text_analysis import domain_mixture_weights
+
+    df = spark.createDataFrame([("a",)] * 16 + [("b",)] * 4 + [("c",)] * 1, "source string")
+    # alpha=0.5: sqrt counts 4/2/1 -> weights 4/7, 2/7, 1/7 (fixed-point e6)
+    got = {r["domain"]: (r["n_docs"], r["weight_e6"])
+           for r in domain_mixture_weights(df, alpha_pct=50).collect()}
+    assert got == {"a": (16, 571428), "b": (4, 285714), "c": (1, 142857)}
+    # alpha=100 is proportional
+    prop = {r["domain"]: r["weight_e6"]
+            for r in domain_mixture_weights(df, alpha_pct=100).collect()}
+    assert prop == {"a": 761904, "b": 190476, "c": 47619}
