@@ -193,6 +193,40 @@ def q_url_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/C3 registrable-domain kernel: full public-suffix-list semantics
+    (tldts getDomain parity, url.ts:26-58, basic-crawler.ts:1565). The host
+    universe exercises private suffixes (github.io, blogspot.com),
+    multi-label ICANN suffixes (com.mx, co.za, co.uk), wildcard rules
+    (*.kobe.jp), exception rules (!city.kobe.jp, !www.ck), punycode IDN
+    suffixes (xn--55qx5d.cn = 公司.cn), IPs, single-label hosts and
+    bare-suffix hosts (all → NULL). The DuckDB oracle recomputes the PSL
+    longest-match algorithm independently from the same rule set."""
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 13
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .when(m == 1, F.concat(F.col("source"), F.lit("-"), ds, F.lit(".github.io")))
+        .when(m == 2, F.concat(F.lit("shop."), F.col("source"), F.lit(".com.mx")))
+        .when(m == 3, F.concat(F.lit("a."), F.col("source"), F.lit(".co.za")))
+        .when(m == 4, F.concat(F.col("source"), F.lit(".blogspot.com")))
+        .when(m == 5, F.lit("www.city.kobe.jp"))
+        .when(m == 6, F.concat(F.lit("x"), ds, F.lit(".bar.kobe.jp")))
+        .when(m == 7, F.concat(F.lit("b."), F.col("source"), F.lit(".xn--55qx5d.cn")))
+        .when(m == 8, F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")))
+        .when(m == 9, F.lit("localhost"))
+        .when(m == 10, F.lit("github.io"))
+        .when(m == 11, F.concat(F.lit("sub."), F.col("source"), F.lit(".example.co.uk")))
+        .otherwise(F.lit("shop.www.ck"))
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain_col(host).alias("registrable_domain"),
+    )
+
+
 def q_enqueue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: seen-set dedup — first arrival wins per unique_key; fragment
     variants collapse onto their base key."""
@@ -620,10 +654,53 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bmp = F.unhex(F.concat(F.lit(bmp_header), bmp_pixels))
+    # doc_id % 5 == 2: a REAL 2x2 8-bit RGB PNG whose raster byte k is
+    # (doc_id*7 + k) % 256 (12 pixel bytes over two filter-0 scanlines).
+    # The IDAT deflate stream is a single STORED block (zlib level 0), so
+    # the oracle recomputes raster bytes by closed form without inflating;
+    # chunk CRCs come from F.crc32 and the adler32 is exact in closed form
+    # (A = 1 + Σ bytes ≤ 3061, B = 14 + Σ (14-i)·byte_i ≤ 21434 — both
+    # below the 65521 modulus, so plain sums suffice).
+    import zlib as _z
+
+    ihdr_data_hex = "0000000200000002" + "0802000000"  # w=2 h=2 d=8 ct=2
+    ihdr_hex = (
+        "0000000D49484452"
+        + ihdr_data_hex
+        + format(_z.crc32(bytes.fromhex("49484452" + ihdr_data_hex)), "08X")
+    )
+    pxv = lambda k: F.pmod(F.col("doc_id") * 7 + F.lit(k), F.lit(256))  # noqa: E731
+    pxh = lambda k: F.lpad(F.hex(pxv(k)), 2, "0")  # noqa: E731
+    raw_hex = F.concat(
+        F.lit("00"), *[pxh(k) for k in range(6)],
+        F.lit("00"), *[pxh(k) for k in range(6, 12)],
+    )
+    adler_a = sum([pxv(k) for k in range(12)], F.lit(1))
+    adler_b = sum(
+        [pxv(k) * (13 - k if k < 6 else 12 - k) for k in range(12)], F.lit(14)
+    )
+    idat_data_hex = F.concat(
+        F.lit("7801010E00F1FF"),  # zlib hdr + final stored block len=14
+        raw_hex,
+        F.lpad(F.hex(adler_b), 4, "0"),
+        F.lpad(F.hex(adler_a), 4, "0"),
+    )
+    idat_crc_hex = F.lpad(
+        F.hex(F.crc32(F.unhex(F.concat(F.lit("49444154"), idat_data_hex)))), 8, "0"
+    )
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A" + ihdr_hex + "0000001949444154"),
+            idat_data_hex,
+            idat_crc_hex,
+            F.lit("0000000049454E44AE426082"),
+        )
+    )
     media = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 5 == 0, F.concat(png_magic, F.encode("text", "UTF-8")))
         .when(F.col("doc_id") % 5 == 1, bmp)
+        .when(F.col("doc_id") % 5 == 2, png)
         .otherwise(F.encode("text", "UTF-8"))
         .alias("content"),
     )
@@ -928,8 +1005,10 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled domain mixing weights (α=0.5 via IEEE sqrt, so the
-    fixed-point weights are engine-exact; ordered cross-domain sum)."""
+    """Temperature-scaled domain mixing weights (α=0.5 via IEEE sqrt,
+    quantized to e6 fixed-point BEFORE the cross-domain sum — the
+    normalizer is an exact integer sum, no float-order contract, no
+    window)."""
     from crawlee_spark.functions.text_analysis import domain_mixture_weights
 
     return domain_mixture_weights(_docs(spark, sf_dir), "source", alpha_pct=50)
@@ -987,6 +1066,7 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_keying": q_url_keying,
+        "registrable_domain": q_registrable_domain,
         "enqueue_dedup": q_enqueue_dedup,
         "frontier_order": q_frontier_order,
         "scheduler_claim": q_scheduler_claim,
@@ -1290,7 +1370,7 @@ WITH m AS (
          ELSE encode(text) END)) AS h,
     CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS format
   FROM documents
-  WHERE doc_id % 5 <> 1
+  WHERE doc_id % 5 NOT IN (1, 2)
 )
 SELECT doc_id, format,
   CAST(64 + {_md5_byte('h', 0)} % 192 AS BIGINT) AS width,
@@ -1308,6 +1388,16 @@ SELECT doc_id, 'bmp' AS format, CAST(3 AS BIGINT) AS width, CAST(2 AS BIGINT) AS
   CAST((doc_id * 7 + 12 + i.i) % 256 AS BIGINT) AS feat_byte
 FROM documents, (SELECT unnest(range(0, 8)) AS i) i
 WHERE doc_id % 5 = 1
+UNION ALL
+-- doc_id % 5 = 2: REAL PNG decode (zlib inflate + unfilter). The fixture's
+-- IDAT is one STORED deflate block with filter-0 scanlines, so raster byte
+-- k is exactly the stored pixel byte (doc_id*7+k)%256 — no inflate needed
+-- to recompute feature[i] = raster byte i.
+SELECT doc_id, 'png' AS format, CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+  CAST(i.i AS BIGINT) AS feat_idx,
+  CAST((doc_id * 7 + i.i) % 256 AS BIGINT) AS feat_byte
+FROM documents, (SELECT unnest(range(0, 8)) AS i) i
+WHERE doc_id % 5 = 2
 """
 
     dot_ab = _dot_sql("va", "vb")
@@ -1328,6 +1418,70 @@ scored AS (
 SELECT id_a, id_b, score_e6 FROM scored WHERE score_e6 >= 400000
 """
 
+    # PSL rule table for the registrable_domain oracle: the DATA is shared
+    # (same .dat snapshot the Spark kernel compiles) but the longest-match
+    # ALGORITHM below is an independent SQL recomputation — candidate
+    # suffixes per depth joined against the rule table, exception >
+    # longest-match > implicit '*' default, eTLD+1 slice.
+    from crawlee_spark.functions.psl import _EXACT, _EXCEPTION, _WILDCARD
+
+    psl_values = ",\n  ".join(
+        [f"('exact', '{r}')" for r in sorted(_EXACT)]
+        + [f"('wildcard', '{r}')" for r in sorted(_WILDCARD)]
+        + [f"('exception', '{r}')" for r in sorted(_EXCEPTION)]
+    )
+    registrable_domain_sql = f"""
+WITH rules(kind, rule) AS (VALUES
+  {psl_values}),
+hosts AS (
+  SELECT doc_id, CASE CAST(doc_id % 13 AS INTEGER)
+    WHEN 0 THEN 'www.' || source || '.example.com'
+    WHEN 1 THEN source || '-' || CAST(doc_id AS VARCHAR) || '.github.io'
+    WHEN 2 THEN 'shop.' || source || '.com.mx'
+    WHEN 3 THEN 'a.' || source || '.co.za'
+    WHEN 4 THEN source || '.blogspot.com'
+    WHEN 5 THEN 'www.city.kobe.jp'
+    WHEN 6 THEN 'x' || CAST(doc_id AS VARCHAR) || '.bar.kobe.jp'
+    WHEN 7 THEN 'b.' || source || '.xn--55qx5d.cn'
+    WHEN 8 THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+    WHEN 9 THEN 'localhost'
+    WHEN 10 THEN 'github.io'
+    WHEN 11 THEN 'sub.' || source || '.example.co.uk'
+    ELSE 'shop.www.ck' END AS host
+  FROM documents
+),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+cand AS (
+  SELECT doc_id, d,
+    array_to_string(ls[len(ls)-d+1:len(ls)], '.') AS sfx,
+    CASE WHEN d >= 2 THEN array_to_string(ls[len(ls)-d+2:len(ls)], '.')
+         ELSE '' END AS parent
+  FROM lab, (VALUES (1),(2),(3),(4),(5)) t(d)
+  WHERE d <= len(ls)
+),
+m AS (
+  SELECT c.doc_id, c.d,
+    max(CASE WHEN r.kind = 'exception' AND r.rule = c.sfx THEN 1 ELSE 0 END) AS exc,
+    max(CASE WHEN (r.kind = 'exact' AND r.rule = c.sfx)
+               OR (r.kind = 'wildcard' AND r.rule = c.parent) THEN 1 ELSE 0 END) AS hit
+  FROM cand c LEFT JOIN rules r ON r.rule = c.sfx OR r.rule = c.parent
+  GROUP BY c.doc_id, c.d
+),
+ps AS (
+  SELECT doc_id,
+    CASE WHEN max(CASE WHEN exc = 1 THEN d END) IS NOT NULL
+         THEN max(CASE WHEN exc = 1 THEN d END) - 1
+         ELSE coalesce(max(CASE WHEN hit = 1 THEN d END), 1) END AS ps_len
+  FROM m GROUP BY doc_id
+)
+SELECT l.doc_id, l.host,
+  CASE WHEN regexp_matches(l.host, '^([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}$') THEN NULL
+       WHEN len(l.ls) <= p.ps_len THEN NULL
+       ELSE array_to_string(l.ls[len(l.ls)-p.ps_len:len(l.ls)], '.')
+  END AS registrable_domain
+FROM lab l JOIN ps p USING (doc_id)
+"""
+
     return {
         "url_keying": f"""
 WITH {_U_SQL.strip()}
@@ -1337,6 +1491,7 @@ SELECT doc_id, url, unique_key,
   'example.com' AS registrable_domain
 FROM u
 """,
+        "registrable_domain": registrable_domain_sql,
         "enqueue_dedup": f"""
 WITH {_U_SQL.strip()},
 cand AS (
@@ -1816,17 +1971,22 @@ reach(src, dst) AS (
 SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
 FROM reach GROUP BY src
 """,
-        # ordered cross-domain double sum (sum(... ORDER BY domain)) mirrors
-        # the Spark ordered-window sum: identical addition order -> identical
-        # IEEE result; sqrt is correctly rounded in both engines
+        # count^alpha quantized to fixed-point BEFORE the cross-domain sum:
+        # the normalizer is an exact integer sum (associative, no
+        # float-order contract); round(sqrt(n)*1e6) is bit-identical in
+        # both engines (sqrt and *1e6 are correctly-rounded IEEE)
         "domain_mixture": """
 WITH counts AS (
   SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY source
 ),
-tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY domain) AS t FROM counts)
-SELECT domain, n_docs,
-  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / t * 1000000) AS BIGINT) AS weight_e6
-FROM counts, tot
+scored AS (
+  SELECT domain, n_docs,
+    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS raw_e6
+  FROM counts
+),
+tot AS (SELECT CAST(sum(raw_e6) AS BIGINT) AS t FROM scored)
+SELECT domain, n_docs, CAST((raw_e6 * 1000000) // t AS BIGINT) AS weight_e6
+FROM scored, tot
 """,
     }

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
+from crawlee_spark.functions.psl import get_domain_col, get_domain_py
+
 # ---------------------------------------------------------------------------
 # Pure-Python kernels (canonical; shared by tests, fixtures and the UDF)
 # ---------------------------------------------------------------------------
@@ -230,55 +232,23 @@ def scheme_col(url: Column | str) -> Column:
     return F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
 
 
-# A compact public-suffix approximation for registrable-domain grouping
-# (politeness is per registrable domain in the reference: tldts getDomain at
-# packages/basic-crawler/src/internals/basic-crawler.ts:1565). The fixture
-# universe only uses these suffixes; a production deployment would broadcast
-# the full public-suffix list as a dim table and do a longest-suffix join.
-_TWO_LEVEL_SUFFIXES = (
-    "co.uk",
-    "org.uk",
-    "ac.uk",
-    "gov.uk",
-    "com.au",
-    "net.au",
-    "org.au",
-    "co.jp",
-    "or.jp",
-    "ne.jp",
-    "com.br",
-    "com.cn",
-    "co.in",
-    "co.nz",
-)
+# Registrable-domain (eTLD+1) resolution — full public-suffix-list
+# semantics, mirroring tldts getDomain (politeness is per registrable domain
+# in the reference: basic-crawler.ts:1565; same-domain scoping: url.ts:99-107).
+# The PSL snapshot + algorithm live in functions/psl.py; the .dat is
+# drop-in replaceable with the complete publicsuffix.org file. NULLABLE:
+# IPs, single-label hosts and hosts that ARE a public suffix have no
+# registrable domain (getDomain → null) and callers mirror the reference's
+# null-domain fallbacks.
 
 
 def registrable_domain_py(hostname: str | None) -> str | None:
-    """Registrable domain (eTLD+1) for a hostname; IPs/None pass through."""
-    if not hostname:
-        return None
-    h = hostname.lower().rstrip(".")
-    if re.fullmatch(r"[0-9.]+", h) or ":" in h:  # IPv4 / IPv6 → no domain
-        return h
-    labels = h.split(".")
-    if len(labels) < 2:
-        return h
-    two = ".".join(labels[-2:])
-    if len(labels) >= 3 and two in _TWO_LEVEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return two
+    """Registrable domain (eTLD+1) via the public-suffix list; None when the
+    host has none (IPs, localhost, bare public suffixes) — tldts getDomain
+    semantics."""
+    return get_domain_py(hostname)
 
 
 def registrable_domain_col(host: Column | str) -> Column:
-    """Registrable domain as a native expression over the suffix table above."""
-    c = F.col(host) if isinstance(host, str) else host
-    labels = F.split(c, r"\.")
-    n = F.size(labels)
-    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    three = F.concat_ws(".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1))
-    is_ip = c.rlike(r"^[0-9.]+$")
-    return (
-        F.when(c.isNull() | (n < 2) | is_ip, c)
-        .when((n >= 3) & two.isin(*_TWO_LEVEL_SUFFIXES), three)
-        .otherwise(two)
-    )
+    """Registrable domain as an Arrow-vectorized PSL lookup (nullable)."""
+    return get_domain_col(host)

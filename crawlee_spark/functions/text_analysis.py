@@ -233,42 +233,42 @@ def domain_mixture_weights(
     weight_d ∝ count_d^α with α = alpha_pct/100; α=100 is proportional,
     α=0 uniform).
 
-    Output: (domain, n_docs, weight_e6) with weight_e6 = floor(10⁶ ·
-    count^α / Σ count^α) — fixed-point so an independent engine reproduces
-    it exactly (pow/sqrt over integer counts are correctly-rounded IEEE
-    doubles, bit-identical across engines; the cross-domain SUM runs over
-    a deterministically ORDERED tiny driver-side frame, never a
-    partition-order float reduction).
+    Output: (domain, n_docs, weight_e6) with weight_e6 = (raw_e6 · 10⁶)
+    div Σ raw_e6 where raw_e6 = round(10⁶ · count^α) — count^α quantized
+    to fixed-point BEFORE the cross-domain sum, so the normalizer is an
+    EXACT integer sum: associative, partition-order-free, reproducible in
+    any engine with no float-summation-order contract at all (the
+    kmeans_fit discipline: sum exact integers, divide afterwards).
+    sqrt/identity (α=50/100) are correctly-rounded IEEE, so raw_e6 itself
+    is bit-identical across engines; generic pow is ~1-ulp (fine for
+    mixing, not for an exactness oracle).
 
-    Scale shape: one map-side-combinable count per domain (the only
-    shuffle); the normalization happens on the aggregated frame, which is
-    domain-cardinality-sized (~10⁵ rows at web scale)."""
-    from pyspark.sql import Window
-
+    Scale shape: one map-side-combinable count per domain, one
+    map-side-combinable long sum for the normalizer, broadcast back over a
+    constant key — no window anywhere (the round-4 single-partition
+    WindowExec is gone; pinned by test_plans). Long arithmetic headroom:
+    raw_e6 ≤ 10⁶·√N ≤ 10¹² and the ×10⁶ numerator ≤ 10¹⁸ < 2⁶³; the
+    normalizer Σ√n_d·10⁶ ≤ 10⁶·√(N·D) ≤ ~10¹⁶ at 10¹² docs / 10⁸
+    domains."""
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").alias("n_docs")
     )
     n = F.col("n_docs").cast("double")
-    # α=50 and α=100 go through sqrt/identity — IEEE-correctly-rounded, so
-    # the fixed-point output is bit-identical across engines; generic pow is
-    # only ~1-ulp accurate (fine for mixing, not for an exactness oracle)
     if alpha_pct == 50:
         raw = F.sqrt(n)
     elif alpha_pct == 100:
         raw = n
     else:
         raw = F.pow(n, F.lit(alpha_pct / 100.0))
-    scored = counts.withColumn("_raw", raw)
-    # cross-row double sum ordered by domain: deterministic regardless of
-    # partitioning (the frame is tiny — domain cardinality — so a single
-    # ordered window is safe here, unlike row-scale frames)
-    total = F.sum("_raw").over(
-        Window.orderBy("domain").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+    scored = counts.withColumn(
+        "raw_e6", F.round(raw * 1_000_000).cast("long")
+    ).withColumn("_k", F.lit(1))
+    total = scored.agg(F.sum("raw_e6").alias("_tot")).withColumn("_k", F.lit(1))
+    return (
+        scored.join(F.broadcast(total), "_k")
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("(raw_e6 * 1000000L) div _tot").alias("weight_e6"),
         )
-    )
-    return scored.select(
-        "domain",
-        "n_docs",
-        F.floor(F.col("_raw") / total * 1_000_000).cast("long").alias("weight_e6"),
     )

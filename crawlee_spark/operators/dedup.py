@@ -531,6 +531,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iterations):
         nbr = edges.join(
             labels.select(F.col("node").alias("b"), F.col("label").alias("_nl")), "b"
@@ -552,4 +553,12 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a truncated propagation is NOT a clustering: labels would be some
+        # intermediate state that neither matches true connected components
+        # nor any oracle — refuse rather than return silently-wrong clusters
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iterations={max_iterations} "
+            "(component diameter exceeds the iteration budget); raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

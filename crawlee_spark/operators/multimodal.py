@@ -145,6 +145,96 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, bytes] | None:
     return width, height, b"".join(rows)
 
 
+def _decode_png(blob: bytes) -> tuple[int, int, bytes] | None:
+    """REAL decode for non-interlaced 8-bit PNG (greyscale / grey+alpha /
+    RGB / RGBA): stdlib ``zlib`` inflates the IDAT stream and the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) unfilter in
+    pure Python.
+
+    Returns (width, height, raster_bytes) with raster_bytes the unfiltered
+    top-first pixel payload (channels interleaved). None for anything this
+    decoder doesn't genuinely handle — palette / 16-bit / interlaced PNGs
+    and undecodable streams fall back to the caller's declared stub. Chunk
+    CRCs are not verified (a truncated-CRC web blob still decodes; the
+    pixel bytes are adler32-checked by zlib itself)."""
+    import struct
+    import zlib
+
+    if len(blob) < 8 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(blob):
+        try:
+            (length,) = struct.unpack_from(">I", blob, pos)
+        except struct.error:
+            return None
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width, height, bit_depth, color_type, compression, filter_method, interlace = (
+        struct.unpack(">IIBBBBB", ihdr[:13])
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if (
+        channels is None
+        or bit_depth != 8
+        or compression != 0
+        or filter_method != 0
+        or interlace != 0
+        or width == 0
+        or height == 0
+    ):
+        return None
+    stride = width * channels
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(data) < (stride + 1) * height:
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    at = 0
+    for _ in range(height):
+        ftype = data[at]
+        cur = bytearray(data[at + 1 : at + 1 + stride])
+        at += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        elif ftype != 0:  # unknown filter type: not a decode we can claim
+            return None
+        out += cur
+        prev = cur
+    return width, height, bytes(out)
+
+
 def _decode_wav(blob: bytes) -> tuple[int, int, int, bytes] | None:
     """REAL decode for the one audio container pure Python can parse with
     ``struct`` alone: RIFF/WAVE PCM.
@@ -211,11 +301,13 @@ def decode_image_features(
     of materializing.
 
     Uncompressed BMP rows get a REAL decode (``_decode_bmp``: header parse,
-    bottom-up row flip, padding strip): width/height from the header and
-    feature[i] = raster_byte[i]/255 over the first ``feat_dim`` raster
-    bytes. Other formats need codec libraries this environment doesn't
-    ship: ``strict=True`` raises NotImplementedError at that (and only
-    that) boundary; the default uses the deterministic fake decode."""
+    bottom-up row flip, padding strip), and non-interlaced 8-bit PNG rows
+    get a REAL decode too (``_decode_png``: stdlib zlib inflate + the five
+    scanline filters): width/height from the header and feature[i] =
+    raster_byte[i]/255 over the first ``feat_dim`` raster bytes. Other
+    formats need codec libraries this environment doesn't ship:
+    ``strict=True`` raises NotImplementedError at that (and only that)
+    boundary; the default uses the deterministic fake decode."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
     if batch_partitions:
         src = src.repartition(batch_partitions, "doc_id")
@@ -226,9 +318,13 @@ def decode_image_features(
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
                 fmt = _sniff_py(blob)
-                bmp = _decode_bmp(blob) if fmt == "bmp" else None
-                if bmp is not None:
-                    w, h, raster = bmp
+                real = None
+                if fmt == "bmp":
+                    real = _decode_bmp(blob)
+                elif fmt == "png":
+                    real = _decode_png(blob)
+                if real is not None:
+                    w, h, raster = real
                     feat = [
                         (raster[i] if i < len(raster) else 0) / 255.0
                         for i in range(feat_dim)
@@ -236,7 +332,8 @@ def decode_image_features(
                 elif strict:
                     raise NotImplementedError(
                         f"no codec for format '{fmt}' in this environment "
-                        "(only uncompressed BMP decodes with pure Python); "
+                        "(only uncompressed BMP and non-interlaced 8-bit "
+                        "PNG decode with pure Python + zlib); "
                         "plug a real decoder into decode_image_features"
                     )
                 else:

@@ -172,14 +172,28 @@ def claim_round(
     """
     eligible = eligible_requests(frontier, round_id)
     budget = policy.host_budget
+    # Requests whose host has NO registrable domain (IPs, bare public
+    # suffixes, single-label hosts) are not throttled by sameDomainDelay in
+    # the reference (delayRequest: `if (!domain) return false`,
+    # basic-crawler.ts:1560-1564). Key them by request_id — each becomes its
+    # own singleton politeness group, which is budget-exempt in one pass
+    # (no second scan / union over the eligible frame).
+    polite = eligible.withColumn(
+        "_polite_key",
+        F.coalesce(F.col("registrable_domain"), F.col("request_id")),
+    )
     ranked = per_key_topk(
-        eligible,
-        key="registrable_domain",
+        polite,
+        key="_polite_key",
         order_col="order_no",
         k=budget,
         salt_buckets=policy.salt_buckets,
     )
-    return ranked.orderBy("order_no").limit(policy.max_concurrency).drop("_rank")
+    return (
+        ranked.orderBy("order_no")
+        .limit(policy.max_concurrency)
+        .drop("_rank", "_polite_key")
+    )
 
 # Lease stamping (O5 listAndLockHead) lives in the engine: the claimed set is
 # committed as a mid-round merge-on-read delta with lease_until = round_id and

@@ -160,10 +160,21 @@ def _decode_tag_value(full: Column) -> Column:
     """Raw inner text of a tag (possibly CDATA-wrapped, untrimmed) → the text
     a SAX parse would deliver, trimmed. CDATA text reaches sax's oncdata
     verbatim — character references are NOT decoded inside CDATA, only in
-    plain text events."""
+    plain text events. Content may MIX CDATA sections with adjacent plain
+    text (``<![CDATA[a]]>tail`` → ``atail``): sax concatenates its cdata and
+    text events, so tokenize into CDATA sections vs plain runs, decode only
+    the plain runs, and join — never drop a loc because the whole value
+    isn't one anchored CDATA block."""
     trimmed = F.trim(full)
-    cdata = F.trim(F.regexp_extract(trimmed, r"(?s)^<!\[CDATA\[(.*?)\]\]>$", 1))
-    return F.when(trimmed.startswith("<![CDATA["), cdata).otherwise(xml_unescape_col(trimmed))
+    toks = F.regexp_extract_all(
+        trimmed, F.lit(r"(?s)(<!\[CDATA\[.*?\]\]>|(?:(?!<!\[CDATA\[).)+)"), 1
+    )
+
+    def dec(t: Column) -> Column:
+        inner = F.regexp_extract(t, r"(?s)^<!\[CDATA\[(.*?)\]\]>$", 1)
+        return F.when(t.startswith("<![CDATA["), inner).otherwise(xml_unescape_col(t))
+
+    return F.trim(F.array_join(F.transform(toks, dec), ""))
 
 
 def parse_sitemap_txt(df: DataFrame, text_col: str = "value", origin_col: str | None = None) -> DataFrame:

@@ -75,5 +75,39 @@ def test_registrable_domain():
     assert registrable_domain_py("www.example.com") == "example.com"
     assert registrable_domain_py("a.b.example.co.uk") == "example.co.uk"
     assert registrable_domain_py("example.com") == "example.com"
-    assert registrable_domain_py("localhost") == "localhost"
-    assert registrable_domain_py("127.0.0.1") == "127.0.0.1"
+    # tldts getDomain semantics: no registrable domain → None
+    # (basic-crawler.ts:1560-1564 skips politeness; url.ts:100-106 falls
+    # back to origin comparison)
+    assert registrable_domain_py("localhost") is None
+    assert registrable_domain_py("127.0.0.1") is None
+
+
+def test_registrable_domain_full_psl():
+    """PSL golden vectors the 14-suffix approximation got wrong (r4 verdict
+    item 1): private suffixes, multi-label ICANN suffixes, wildcard rules,
+    exception rules, punycode — tldts getDomain parity (url.ts:26-58)."""
+    # private section: each github.io sub-site is its own registrable domain
+    assert registrable_domain_py("foo.github.io") == "foo.github.io"
+    assert registrable_domain_py("bar.foo.github.io") == "foo.github.io"
+    assert registrable_domain_py("github.io") is None  # IS a public suffix
+    assert registrable_domain_py("x.blogspot.com") == "x.blogspot.com"
+    # multi-label ICANN suffixes beyond the old approximation
+    assert registrable_domain_py("shop.example.com.mx") == "example.com.mx"
+    assert registrable_domain_py("a.example.co.za") == "example.co.za"
+    assert registrable_domain_py("example.com.tr") == "example.com.tr"
+    assert registrable_domain_py("k12.ca.us") is None
+    assert registrable_domain_py("school.k12.ca.us") == "school.k12.ca.us"
+    # wildcard rules: *.kobe.jp / *.bd — every second label is a suffix
+    assert registrable_domain_py("foo.bar.kobe.jp") == "foo.bar.kobe.jp"
+    assert registrable_domain_py("foo.bar.bd") == "foo.bar.bd"
+    # exception rules: !city.kobe.jp / !www.ck carve out of the wildcard
+    assert registrable_domain_py("www.city.kobe.jp") == "city.kobe.jp"
+    assert registrable_domain_py("shop.www.ck") == "www.ck"
+    # punycode + unicode spellings of the same IDN rule (公司.cn)
+    assert registrable_domain_py("b.example.xn--55qx5d.cn") == "example.xn--55qx5d.cn"
+    assert registrable_domain_py("b.example.公司.cn") == "example.公司.cn"
+    # trailing dot / case-insensitivity (normalizeHostname, url.ts:78-80)
+    assert registrable_domain_py("WWW.Example.COM.") == "example.com"
+    # bare TLD and bare multi-label suffix: no registrable domain
+    assert registrable_domain_py("com") is None
+    assert registrable_domain_py("co.uk") is None

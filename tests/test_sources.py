@@ -186,6 +186,10 @@ def test_sitemap_loc_xml_entities_decoded(spark):
         "<url><loc>https://e.com/p&#63;x=&quot;q&quot;&#x26;y=&apos;r&apos;</loc></url>"
         "<url><loc>&amp;lt;not-lt&gt;</loc></url>"
         "<url><loc><![CDATA[https://e.com/cdata?a=1&amp;verbatim]]></loc></url>"
+        # sax concatenates cdata + adjacent text events: the CDATA part is
+        # verbatim, the tail/head plain text IS entity-decoded (ADVICE r4)
+        "<url><loc><![CDATA[https://e.com/mix?x=1]]>&amp;tail=2</loc></url>"
+        "<url><loc>https://e.com/head&#63;<![CDATA[a=&amp;raw]]></loc></url>"
         "</urlset>"
     )
     df = spark.createDataFrame([(urlset,)], "value string")
@@ -195,6 +199,8 @@ def test_sitemap_loc_xml_entities_decoded(spark):
         "&lt;not-lt>",
         # CDATA content reaches oncdata verbatim — no entity decode inside
         "https://e.com/cdata?a=1&amp;verbatim",
+        "https://e.com/head?a=&amp;raw",
+        "https://e.com/mix?x=1&tail=2",
         "https://e.com/p?x=\"q\"&y='r'",
         "https://e.com/s?a=1&b=2&c=3",
     ]
