@@ -191,13 +191,23 @@ class CrawlEngine:
     pages_prune_min_bytes: int = 1 << 30
 
     def __post_init__(self):
-        from crawlee_spark.operators.handlers import merged_extra_fields
+        from crawlee_spark.operators.handlers import (
+            ENQUEUE_OUTPUT_TYPES,
+            ENQUEUE_URLS_COL,
+            merged_extra_fields,
+        )
 
-        self._handler_extra_names = (
+        merged = (
             [f.name for f in merged_extra_fields(self.options.handlers)]
             if self.options.handlers
             else []
         )
+        # enqueue_urls / enqueue_label / enqueue_user_data are ENGINE-consumed
+        # handler outputs (handler-emitted requests, basic-crawler.ts:
+        # 1651-1672): they feed the link gate, never the results dataset
+        self._handler_extra_names = [c for c in merged if c not in ENQUEUE_OUTPUT_TYPES]
+        self._handler_enqueue_cols = [c for c in merged if c in ENQUEUE_OUTPUT_TYPES]
+        self._handler_emits = ENQUEUE_URLS_COL in self._handler_enqueue_cols
         if (
             self.options.failed_request_handler is not None
             and self.options.failed_handler_schema is None
@@ -564,11 +574,19 @@ class CrawlEngine:
         # round needs: per-outcome counts (metrics + O(1) counter deltas),
         # the discovered-link total, and the reclaim re-sequencing range —
         # previously three separate jobs over the same checkpointed frame.
+        from crawlee_spark.operators.handlers import ENQUEUE_URLS_COL
+
+        emitted_sz = (
+            F.sum(F.size(F.coalesce(F.col(ENQUEUE_URLS_COL), F.array())))
+            if self._handler_emits
+            else F.sum(F.lit(0))
+        )
         stat_rows = (
             classified.groupBy("_outcome")
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.size(F.coalesce(F.col("_links"), F.array()))).alias("links"),
+                emitted_sz.alias("emitted"),
                 F.min(F.abs(F.col("order_no"))).alias("lo"),
                 F.max(F.abs(F.col("order_no"))).alias("hi"),
             )
@@ -576,6 +594,7 @@ class CrawlEngine:
         )
         cnts = {r["_outcome"]: int(r["n"]) for r in stat_rows}
         n_links = sum(int(r["links"] or 0) for r in stat_rows if r["_outcome"] == "success")
+        n_emitted = sum(int(r["emitted"] or 0) for r in stat_rows if r["_outcome"] == "success")
         reclaim_rows = [r for r in stat_rows if r["_outcome"] in ("retry", "session_retry")]
         n_reclaims = sum(int(r["n"]) for r in reclaim_rows)
         r_lo = min((int(r["lo"]) for r in reclaim_rows), default=0)
@@ -607,8 +626,13 @@ class CrawlEngine:
             extracted.select(
                 "request_id",
                 "url",
-                # request.loadedUrl = response.url (redirect-aware final URL)
-                F.coalesce(F.col("loaded_url"), F.col("url")).alias("loaded_url"),
+                # request.loadedUrl = response.url (redirect-aware final URL);
+                # skipNavigation rows never navigated, so loadedUrl stays
+                # unset in the results too (request.ts:268-277 — the round
+                # frame already nulled it, and the coalesce must not refill)
+                F.when(skip_nav, F.lit(None).cast("string"))
+                .otherwise(F.coalesce(F.col("loaded_url"), F.col("url")))
+                .alias("loaded_url"),
                 F.col("extracted_text").alias("text"),
                 "crawl_depth",
                 "label",
@@ -623,10 +647,10 @@ class CrawlEngine:
         if self.options.failed_request_handler is not None:
             self._apply_failed_handler(classified, round_id)
 
-        # ---- discovered links → gate → enqueue
+        # ---- discovered links (extracted + handler-emitted) → gate → enqueue
         new_enqueued = 0
         fresh_rows = None
-        if n_links:
+        if n_links or n_emitted:
             # parent rank: dense 1..|succ| by order_no. Two-phase global rank
             # (range-partition + per-partition row_number + offsets) over the
             # NARROW (order_no) projection — an unpartitioned window here
@@ -643,17 +667,76 @@ class CrawlEngine:
                 # two-phase — the single task would otherwise sort the round
                 approx_rows=n_claimed,
             )
-            links = (
-                extracted.join(F.broadcast(ranks), "order_no")
-                .select(
-                    F.col("url").alias("origin_url"),
-                    F.col("label").alias("origin_label"),
-                    F.col("_parent_rank"),
-                    (F.col("crawl_depth") + 1).alias("crawl_depth"),
-                    F.posexplode_outer("_links").alias("_pos", "url"),
+            if self._handler_emits:
+                # handler-emitted urls (context.addRequests / enqueueLinks
+                # ({urls}), basic-crawler.ts:1651-1672) append AFTER the
+                # page's extracted links in ONE candidate array, so a single
+                # posexplode yields gap-free per-page positions and the
+                # (_parent_rank << 32) + _pos arrival key stays unique and
+                # deterministic across both sources. Per-row enqueue_label /
+                # enqueue_user_data stamp every url that row emitted.
+                from crawlee_spark.operators.handlers import (
+                    ENQUEUE_LABEL_COL,
+                    ENQUEUE_USER_DATA_COL,
                 )
-                .filter(F.col("url").isNotNull())
-            )
+
+                null_s = F.lit(None).cast("string")
+                e_lbl = (
+                    F.col(ENQUEUE_LABEL_COL)
+                    if ENQUEUE_LABEL_COL in self._handler_enqueue_cols
+                    else null_s
+                )
+                e_ud = (
+                    F.col(ENQUEUE_USER_DATA_COL)
+                    if ENQUEUE_USER_DATA_COL in self._handler_enqueue_cols
+                    else null_s
+                )
+                empty = F.array().cast("array<string>")
+                cand_arr = F.concat(
+                    F.transform(
+                        F.coalesce(F.col("_links"), empty),
+                        lambda u: F.struct(
+                            u.alias("url"), null_s.alias("label"), null_s.alias("user_data")
+                        ),
+                    ),
+                    F.transform(
+                        F.coalesce(F.col(ENQUEUE_URLS_COL), empty),
+                        lambda u: F.struct(
+                            u.alias("url"), e_lbl.alias("label"), e_ud.alias("user_data")
+                        ),
+                    ),
+                )
+                links = (
+                    extracted.join(F.broadcast(ranks), "order_no")
+                    .select(
+                        F.col("url").alias("origin_url"),
+                        F.col("label").alias("origin_label"),
+                        F.col("_parent_rank"),
+                        (F.col("crawl_depth") + 1).alias("crawl_depth"),
+                        F.posexplode_outer(cand_arr).alias("_pos", "_cand"),
+                    )
+                    .withColumns(
+                        {
+                            "url": F.col("_cand.url"),
+                            "label": F.col("_cand.label"),
+                            "user_data": F.col("_cand.user_data"),
+                        }
+                    )
+                    .drop("_cand")
+                    .filter(F.col("url").isNotNull())
+                )
+            else:
+                links = (
+                    extracted.join(F.broadcast(ranks), "order_no")
+                    .select(
+                        F.col("url").alias("origin_url"),
+                        F.col("label").alias("origin_label"),
+                        F.col("_parent_rank"),
+                        (F.col("crawl_depth") + 1).alias("crawl_depth"),
+                        F.posexplode_outer("_links").alias("_pos", "url"),
+                    )
+                    .filter(F.col("url").isNotNull())
+                )
             if self.robots is not None:
                 links = links.join(
                     self._robots.withColumnRenamed("host", "_rhost"),

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-from crawlee_spark.functions.keying import host_col, registrable_domain_col, scheme_col
+from crawlee_spark.functions.keying import host_col, origin_col, registrable_domain_col, scheme_col
 from crawlee_spark.functions.robots import robots_allowed_udf
 
 HTTP_SCHEMES = ("http", "https")
@@ -185,9 +185,14 @@ def strategy_predicate(strategy: str, url: Column, origin_url: Column) -> Column
     if strategy == "same-domain":
         t_dom = registrable_domain_col(t_host)
         o_dom = registrable_domain_col(o_host)
-        # IP-origin fallback to origin equality (url.ts:100-106)
-        o_is_ip = o_host.rlike(r"^[0-9.]+$")
-        return F.when(o_is_ip, t_host == o_host).otherwise(t_dom == o_dom)
+        # getDomain is NULL for origins with no registrable domain (IPs,
+        # bare public suffixes like github.io, single-label hosts): fall
+        # back to comparing ORIGINS, exactly url.ts:100-106. The explicit
+        # isNotNull keeps the predicate 2-valued — a NULL here would leak
+        # through gate_candidates' when-chain as an accept.
+        return F.when(
+            o_dom.isNull(), origin_col(url) == origin_col(origin_url)
+        ).otherwise(t_dom.isNotNull() & (t_dom == o_dom))
     if strategy == "same-origin":
         t_port = F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
         o_port = F.coalesce(F.try_parse_url(origin_url, F.lit("HOST")), F.lit(""))
@@ -276,11 +281,19 @@ def gate_candidates(
     accepted = tagged.filter(F.col("_skip_reason").isNull()).drop("_skip_reason")
     # plain label/userData options stamp every accepted candidate
     # (createRequestOptions, shared.ts:261-268) BEFORE the pattern chain, so
-    # a matching pattern's own override wins via the chain's fallback
+    # a matching pattern's own override wins via the chain's fallback. A
+    # candidate arriving WITH a label/user_data already set (handler-emitted
+    # requests: the per-row enqueue_label analog of enqueueLinks({urls,
+    # label})) keeps its own value — the route option is the fallback.
     for base_field in ("label", "user_data"):
         base_val = getattr(options, base_field)
         if base_val is not None:
-            accepted = accepted.withColumn(base_field, F.lit(base_val))
+            if base_field in accepted.columns:
+                accepted = accepted.withColumn(
+                    base_field, F.coalesce(F.col(base_field), F.lit(base_val))
+                )
+            else:
+                accepted = accepted.withColumn(base_field, F.lit(base_val))
     # per-pattern requestOptions: the FIRST matching pattern's non-null
     # overrides replace the candidate's values (shared.ts:190-205) — a
     # when-chain in declaration order, all JVM-side

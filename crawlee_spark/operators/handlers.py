@@ -57,6 +57,24 @@ HANDLER_INPUT_COLS = (
 
 _ERR_COL = "_handler_error"
 
+# Handler-emitted requests (context.addRequests, basic-crawler.ts:1651-1672;
+# enqueueLinks({urls: [...]}) explicit-urls path, enqueue_links.ts:244-294):
+# a handler may declare these output columns to ENQUEUE urls it computed
+# itself (pagination, API listings) instead of — or in addition to — the
+# automatic E1 link extraction. The engine consumes them (they never reach
+# the results dataset): emitted urls flow into the same gate → dedup →
+# enqueue stage as extracted links, with `enqueue_label`/`enqueue_user_data`
+# stamped per emitting row onto every url it emitted (the analog of the
+# reference's per-call `enqueueLinks({urls, label, userData})`).
+ENQUEUE_URLS_COL = "enqueue_urls"
+ENQUEUE_LABEL_COL = "enqueue_label"
+ENQUEUE_USER_DATA_COL = "enqueue_user_data"
+ENQUEUE_OUTPUT_TYPES: dict[str, T.DataType] = {
+    ENQUEUE_URLS_COL: T.ArrayType(T.StringType()),
+    ENQUEUE_LABEL_COL: T.StringType(),
+    ENQUEUE_USER_DATA_COL: T.StringType(),
+}
+
 
 class MissingRouteError(ValueError):
     """router.ts:324-329 — a CriticalError in the reference: aborts the run."""
@@ -145,6 +163,10 @@ def _reserved_output_cols() -> frozenset:
         frozenset(HANDLER_INPUT_COLS)
         | frozenset(f.name for f in FRONTIER_SCHEMA.fields)
         | {_ERR_COL, "_eh", "_outcome", "_error", "_links", "_blocked_sel"}
+        # results-dataset columns the round's final select emits directly
+        # (engine results append): a handler shadowing one of these would
+        # produce a duplicate column in the parquet write mid-crawl
+        | {"round_id", "text", "loaded_url"}
     )
 
 
@@ -163,6 +185,22 @@ def merged_extra_fields(handlers: dict) -> list[T.StructField]:
                     f"handler output column '{fld.name}' collides with an "
                     "engine column; pick a different name (mutating request "
                     "fields is the errorHandler's job, not a result column)"
+                )
+            expected = ENQUEUE_OUTPUT_TYPES.get(fld.name)
+            if expected is not None and fld.dataType != expected:
+                raise ValueError(
+                    f"handler output column '{fld.name}' is engine-consumed "
+                    f"and must be {expected.simpleString()}, got "
+                    f"{fld.dataType.simpleString()}"
+                )
+            if fld.name in (ENQUEUE_LABEL_COL, ENQUEUE_USER_DATA_COL) and not any(
+                g.name == ENQUEUE_URLS_COL
+                for hh in handlers.values()
+                for g in hh.output_schema.fields
+            ):
+                raise ValueError(
+                    f"'{fld.name}' declared but no route declares "
+                    f"'{ENQUEUE_URLS_COL}' — nothing would be enqueued"
                 )
             prev = merged.get(fld.name)
             if prev is not None and prev.dataType != fld.dataType:

@@ -594,4 +594,4 @@ def test_skip_navigation_requests_bypass_fetch(spark, tmp_store_dir, pages):
     assert set(results) == {real, ghost}
     for r in results.values():
         assert r["text"] is None
-        assert r["loaded_url"] == r["url"]  # no navigation -> no response url
+        assert r["loaded_url"] is None  # no navigation -> no response url

@@ -324,6 +324,124 @@ def test_enqueue_by_label_listing_detail(spark, tmp_store_dir):
     }
 
 
+def test_handler_emitted_requests_flow_to_frontier(spark, tmp_store_dir):
+    """Handler-emitted requests (context.addRequests basic-crawler.ts:
+    1651-1672 / enqueueLinks({urls}) enqueue_links.ts:244-294): a listing
+    handler constructs page-N urls itself (the pagination/API idiom — no
+    <a> tags involved); they flow through gate -> dedup -> enqueue exactly
+    like extracted links, with the per-row enqueue_label / enqueue_user_data
+    stamped on, and the seed itself deduped away on re-emission."""
+    L = "https://h1.example.com/listing"
+    P2, P3 = f"{L}?page=2", f"{L}?page=3"
+    urls = [L, P2, P3]
+    seeds = spark.createDataFrame([(L, "listing")], "url string, label string")
+
+    def listing(pdf):
+        # emit page-2/3 plus the seed itself (must dedup away)
+        return pd.DataFrame(
+            {
+                "enqueue_urls": [[u + "?page=2", u + "?page=3", u] for u in pdf["url"]],
+                "enqueue_label": ["detail"] * len(pdf),
+                "enqueue_user_data": ['{"from":"pager"}'] * len(pdf),
+            }
+        )
+
+    def detail(pdf):
+        return pd.DataFrame({"kind": ["D"] * len(pdf)})
+
+    emit_schema = T.StructType(
+        [
+            T.StructField("enqueue_urls", T.ArrayType(T.StringType())),
+            T.StructField("enqueue_label", T.StringType()),
+            T.StructField("enqueue_user_data", T.StringType()),
+        ]
+    )
+    kind_only = T.StructType([T.StructField("kind", T.StringType())])
+    engine = _engine(
+        spark, tmp_store_dir, urls, seeds,
+        CrawlOptions(
+            enqueue=EnqueueOptions(strategy="same-hostname"),
+            handlers={
+                "listing": RequestHandler(listing, emit_schema),
+                "detail": RequestHandler(detail, kind_only),
+                None: RequestHandler(lambda pdf: None, T.StructType([])),
+            },
+        ),
+    )
+    engine.run_round()
+    fresh = {
+        r["url"]: (r["label"], r["user_data"], r["crawl_depth"])
+        for r in engine.store.read().filter(F.col("crawl_depth") == 1).collect()
+    }
+    # both pager urls enqueued at depth 1 with the handler's label/userData;
+    # the re-emitted seed is deduped (D5), not re-added
+    assert fresh == {
+        P2: ("detail", '{"from":"pager"}', 1),
+        P3: ("detail", '{"from":"pager"}', 1),
+    }
+    assert engine.store.read().filter(F.col("url") == L).count() == 1
+    # the emitted requests are crawlable: round 2 routes them to 'detail'
+    engine.run_round()
+    got = {r["url"]: r["kind"] for r in engine.results().collect()}
+    assert got[P2] == "D" and got[P3] == "D"
+    # engine-consumed columns never leak into the results dataset
+    assert "enqueue_urls" not in engine.results().columns
+
+
+def test_handler_emitted_requests_are_gated(spark, tmp_store_dir):
+    """Emitted urls pass the SAME F1/F7 gates as extracted links: an
+    off-host url fails same-hostname ('filters') and with max_crawl_depth=0
+    every emitted url is depth-skipped — gate rejections land in the
+    skipped side-output, nothing reaches the frontier."""
+    L = "https://h1.example.com/listing"
+    seeds = spark.createDataFrame([(L, "listing")], "url string, label string")
+
+    def listing(pdf):
+        return pd.DataFrame(
+            {"enqueue_urls": [[u + "?page=2", "https://evil.example.org/x"] for u in pdf["url"]]}
+        )
+
+    emit_schema = T.StructType(
+        [T.StructField("enqueue_urls", T.ArrayType(T.StringType()))]
+    )
+    engine = _engine(
+        spark, tmp_store_dir, [L], seeds,
+        CrawlOptions(
+            max_rounds=1,
+            max_crawl_depth=0,
+            enqueue=EnqueueOptions(strategy="same-hostname"),
+            handlers={"listing": RequestHandler(listing, emit_schema)},
+        ),
+    )
+    engine.run_round()
+    assert engine.store.read().filter(F.col("crawl_depth") > 0).count() == 0
+    skipped = {
+        (r["url"], r["reason"]) for r in engine.skipped().collect()
+    }
+    assert (L + "?page=2", "depth") in skipped
+    # the cross-host url fails the strategy gate BEFORE depth (gates apply
+    # in reference order: filters first)
+    assert ("https://evil.example.org/x", "filters") in skipped
+
+
+def test_enqueue_label_must_come_with_enqueue_urls():
+    from crawlee_spark.operators.handlers import merged_extra_fields
+
+    with pytest.raises(ValueError, match="nothing would be enqueued"):
+        merged_extra_fields(
+            {None: RequestHandler(lambda p: p, T.StructType([T.StructField("enqueue_label", T.StringType())]))}
+        )
+
+
+def test_enqueue_urls_type_is_validated():
+    from crawlee_spark.operators.handlers import merged_extra_fields
+
+    with pytest.raises(ValueError, match="engine-consumed"):
+        merged_extra_fields(
+            {None: RequestHandler(lambda p: p, T.StructType([T.StructField("enqueue_urls", T.StringType())]))}
+        )
+
+
 def test_handler_output_columns_cannot_shadow_engine_columns():
     """A handler declaring an extras column named like an engine/frontier
     column (label, url, ...) must fail fast at construction, not as an
