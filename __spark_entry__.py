@@ -956,6 +956,173 @@ def q_request_handlers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("request_id", "kind", "title", "n_words")
 
 
+def q_handler_enqueue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handler-emitted requests (context.addRequests basic-crawler.ts:
+    1651-1672; enqueueLinks({urls}) enqueue_links.ts:244-294): a 'listing'
+    route handler constructs page-N urls from row data (the pagination/API
+    idiom — no <a> tags), emitting ``enqueue_urls`` plus a per-row
+    ``enqueue_label``. Candidates pass the same same-hostname gate as
+    extracted links (every row also emits a cross-host url the gate must
+    drop), per-row labels win over the route's base label via the
+    coalesce fallback, and same-source emissions collapse on the seen-set
+    key. Oracle: DuckDB regenerates the page urls constructively and never
+    emits the cross-host url — a gate leak or label-precedence bug
+    hash-mismatches."""
+    import pandas as pd
+
+    from crawlee_spark.functions.keying import normalize_url_udf, request_id_col
+    from crawlee_spark.operators.enqueue import EnqueueOptions, gate_candidates
+    from crawlee_spark.operators.handlers import RequestHandler, apply_request_handlers
+
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 3 == 1).select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("request_id"),
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/list")
+        ).alias("url"),
+        F.lit("listing").alias("label"),
+        # k pages to emit + the per-row label override, packed in user_data
+        # (a handler-input column) so the handler itself derives everything
+        # from its own context, like the reference's userData idiom
+        F.concat(
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(":"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("detail")).otherwise(F.lit("")),
+        ).alias("user_data"),
+    )
+
+    def listing(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = pdf["user_data"].str.split(":", n=1)
+        ks = parts.str[0].astype(int)
+        lbls = parts.str[1].where(parts.str[1] != "", None)
+        return pd.DataFrame(
+            {
+                "enqueue_urls": [
+                    [f"{u}?page={p}" for p in range(2, 2 + k)]
+                    + ["https://crosshost.example.org/x"]
+                    for u, k in zip(pdf["url"], ks)
+                ],
+                "enqueue_label": lbls.values,
+            }
+        )
+
+    emit_schema = T.StructType(
+        [
+            T.StructField("enqueue_urls", T.ArrayType(T.StringType())),
+            T.StructField("enqueue_label", T.StringType()),
+        ]
+    )
+    out = apply_request_handlers(base, {"listing": RequestHandler(listing, emit_schema)})
+    cand = out.join(
+        base.select("request_id", F.col("url").alias("origin_url"), "doc_id"),
+        "request_id",
+    ).select(
+        "doc_id",
+        "origin_url",
+        F.lit(1).alias("crawl_depth"),
+        F.col("enqueue_label").alias("label"),
+        F.explode("enqueue_urls").alias("url"),
+    )
+    accepted, _ = gate_candidates(
+        cand, EnqueueOptions(strategy="same-hostname", label="fallback")
+    )
+    uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
+    return (
+        accepted.select(uk.alias("unique_key"), "label", "doc_id")
+        .groupBy("unique_key", "label")
+        .agg(
+            F.count("*").cast("long").alias("n_emitters"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(
+            "unique_key",
+            request_id_col(F.col("unique_key")).alias("request_id"),
+            "label",
+            "n_emitters",
+            "first_doc",
+        )
+    )
+
+
+def q_proxy_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sticky per-session proxy rotation (proxy_configuration.ts:400-415 via
+    operators/proxies.rotate_proxies): sessions ranked by FIRST arrival take
+    ``proxy_urls[(rank-1) % n]`` and keep it. Sessions are synthesized as
+    (source, doc_id % 40) buckets arriving at their min doc_id — unique first
+    arrivals, as the two-phase rank requires. Oracle: DuckDB recomputes the
+    first-arrival rank with a window and indexes the same url list."""
+    from crawlee_spark.operators.proxies import rotate_proxies
+
+    d = _docs(spark, sf_dir)
+    sessions = d.select(
+        F.concat(
+            F.col("source"), F.lit("#"), (F.col("doc_id") % 40).cast("string")
+        ).alias("session_id"),
+        F.col("doc_id").cast("long").alias("arrival"),
+    )
+    return rotate_proxies(
+        sessions,
+        ("http://p0.proxy", "http://p1.proxy", "http://p2.proxy"),
+        session_col="session_id",
+        order_col="arrival",
+        num_partitions=8,
+    ).select("session_id", "proxy_url")
+
+
+def q_proxy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered proxy escalation (proxy_configuration.ts:117-173, :337-368 via
+    operators/proxies.predict_proxy_tiers): per-domain ordered replay of the
+    reference's ProxyTierTracker. The trace is CONSTRUCTIVE so the oracle has
+    a closed form: each domain (= source) runs 30 attempts; attempt
+    ``a+1`` (a = 1 + length(source) % 4) is a RETRY carrying last tier 0,
+    which charges +10 onto tier 0 and escalates to tier 1; decay then returns
+    the domain to tier 0 exactly at attempt a+11 (h[0] hits 0 → equality
+    downshift, :149-151). Within-tier round-robin indexes by the per-domain
+    draw counter. DuckDB regenerates tier and url from the closed form — any
+    drift in charge/decay/downshift or rotation order hash-mismatches."""
+    from crawlee_spark.operators.proxies import predict_proxy_tiers, split_assignments
+
+    d = _docs(spark, sf_dir)
+    tiers = (
+        ("http://t0a.proxy", "http://t0b.proxy"),
+        ("http://t1a.proxy", "http://t1b.proxy", "http://t1c.proxy"),
+    )
+    attempts = (
+        d.select("source").distinct()
+        .select(
+            F.col("source").alias("domain"),
+            F.explode(F.sequence(F.lit(1), F.lit(30))).alias("pos"),
+        )
+        .select(
+            "domain",
+            F.concat(F.col("domain"), F.lit("-"), F.col("pos").cast("string")).alias(
+                "request_id"
+            ),
+            F.col("pos").cast("long").alias("order_no"),
+            F.when(
+                F.col("pos") == F.lit(2) + F.length("domain") % 4, F.lit(0)
+            ).cast("int").alias("last_proxy_tier"),
+        )
+    )
+    out = predict_proxy_tiers(
+        attempts,
+        tiers,
+        domain_col="domain",
+        order_col="order_no",
+        request_col="request_id",
+        last_tier_col="last_proxy_tier",
+    )
+    assignments, _state = split_assignments(out)
+    return assignments.select(
+        "domain",
+        "request_id",
+        F.col("order_no").alias("pos"),
+        F.col("proxy_tier").cast("int").alias("proxy_tier"),
+        "proxy_url",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
     numbers / phones replaced by tokens in the documented pass order, plus
@@ -1104,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_cookies": q_session_cookies,
         "sitemap_gz": q_sitemap_gz,
         "request_handlers": q_request_handlers,
+        "handler_enqueue": q_handler_enqueue,
+        "proxy_rotation": q_proxy_rotation,
+        "proxy_tiers": q_proxy_tiers,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -1882,6 +2052,67 @@ SELECT 'r' || doc_id AS request_id,
          ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
   END AS n_words
 FROM documents
+""",
+        # constructive: regenerate the handler's page urls from the same row
+        # data; the cross-host emission is NEVER generated here, so a
+        # same-hostname gate leak on the Spark side hash-mismatches, and the
+        # label CASE mirrors per-row-override-wins-over-route-fallback
+        "handler_enqueue": f"""
+WITH lst AS (
+  SELECT doc_id,
+    'https://www.' || source || '.example.com/list' AS url,
+    CAST(doc_id % 4 AS INT) AS k,
+    CASE WHEN doc_id % 2 = 1 THEN 'detail' ELSE 'fallback' END AS label
+  FROM documents WHERE doc_id % 3 = 1
+),
+em AS (
+  SELECT doc_id, label, url || '?page=' || CAST(p AS VARCHAR) AS unique_key
+  FROM lst, (VALUES (2),(3),(4)) t(p)
+  WHERE p < 2 + k
+)
+SELECT unique_key, {_RID_SQL.format(k='unique_key')} AS request_id, label,
+  CAST(count(*) AS BIGINT) AS n_emitters,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM em GROUP BY unique_key, label
+""",
+        # first-arrival rank recomputed with a window; same url list indexed
+        # 1-based — a rotation-offset or rank drift hash-mismatches
+        "proxy_rotation": """
+WITH s AS (
+  SELECT source || '#' || CAST(doc_id % 40 AS VARCHAR) AS session_id,
+         min(doc_id) AS f
+  FROM documents GROUP BY 1
+),
+r AS (SELECT session_id, row_number() OVER (ORDER BY f) AS rk FROM s)
+SELECT session_id,
+  ['http://p0.proxy','http://p1.proxy','http://p2.proxy'][CAST((rk - 1) % 3 AS INT) + 1]
+    AS proxy_url
+FROM r
+""",
+        # closed form of the tracker replay: tier 0 until the retry at
+        # a+1 (a = 1 + length(source)%4) charges +10 and escalates to tier 1;
+        # decay returns the domain to tier 0 exactly at a+11; the per-domain
+        # draw counter (pos-1) indexes the tier's url list
+        "proxy_tiers": """
+WITH dom AS (SELECT DISTINCT source FROM documents),
+att AS (
+  SELECT source AS domain, g.pos, 1 + length(source) % 4 AS a
+  FROM dom, generate_series(1, 30) AS g(pos)
+),
+t AS (
+  SELECT domain, pos,
+    CASE WHEN pos <= a THEN 0 WHEN pos <= a + 10 THEN 1 ELSE 0 END AS proxy_tier
+  FROM att
+)
+SELECT domain,
+  domain || '-' || CAST(pos AS VARCHAR) AS request_id,
+  CAST(pos AS BIGINT) AS pos,
+  CAST(proxy_tier AS INT) AS proxy_tier,
+  CASE WHEN proxy_tier = 0
+    THEN ['http://t0a.proxy','http://t0b.proxy'][CAST((pos - 1) % 2 AS INT) + 1]
+    ELSE ['http://t1a.proxy','http://t1b.proxy','http://t1c.proxy'][CAST((pos - 1) % 3 AS INT) + 1]
+  END AS proxy_url
+FROM t
 """,
         # constructive: the corpus text is digit-free after the strip (and
         # carries no '@'), so the appended PII instances are the only

@@ -139,6 +139,14 @@ class CrawlOptions:
     # CriticalError, basic-crawler.ts:1889); a handler THROW is retryable
     # exactly like a fetch error (basic-crawler.ts:1880-1941).
     handlers: "dict[str | None, RequestHandler] | None" = None
+    # Proxy rotation policy (proxy_configuration.ts): plain proxy_urls =
+    # sticky per-session assignment persisted across rounds; tiered urls =
+    # per-domain error-driven tier escalation (ProxyTierTracker state
+    # persisted round-to-round; a retried request charges the tier its
+    # previous attempt used). Assignment lands as proxy_tier/proxy_url
+    # columns on the claim set and the outcomes log. No network — the
+    # POLICY is the modeled surface.
+    proxy_config: "object | None" = None
     # Per-label enqueueLinks options: in the reference each route's handler
     # calls enqueueLinks with its OWN globs/strategy/label (the canonical
     # listing->detail pattern). Maps the ORIGIN page's label to the
@@ -218,6 +226,8 @@ class CrawlEngine:
             )
         self.results_dir = os.path.join(self.store.root, "results")
         self.outcomes_dir = os.path.join(self.store.root, "outcomes")
+        self.proxy_state_dir = os.path.join(self.store.root, "proxy_state")
+        self.proxy_last_dir = os.path.join(self.store.root, "proxy_last")
         self.skipped_dir = os.path.join(self.store.root, "skipped")
         self.sessions_dir = os.path.join(self.store.root, "sessions")
         # size the robots dim ONCE: broadcast only when provably small
@@ -317,6 +327,136 @@ class CrawlEngine:
         updated = updated.localCheckpoint(eager=True)  # pin before overwrite
         updated.write.mode("overwrite").parquet(self.sessions_dir)
 
+    # -- proxy rotation policy (proxy_configuration.ts) -----------------------
+    def _assign_proxies(self, claimed: DataFrame) -> DataFrame:
+        """Stamp proxy_tier/proxy_url onto the claim set (the newProxyInfo
+        call the reference makes per request before navigation)."""
+        cfg = self.options.proxy_config
+        if getattr(cfg, "proxy_urls", ()):
+            return self._assign_plain_proxies(claimed, cfg)
+        return self._assign_tiered_proxies(claimed, cfg)
+
+    def _assign_plain_proxies(self, claimed: DataFrame, cfg) -> DataFrame:
+        """Sticky rotation (proxy_configuration.ts:400-415): a SESSION keeps
+        the url it first drew; first-appearance ranks continue across rounds
+        via the persisted session->url map (usedProxyUrls, bounded by the
+        pool size). Without a session pool the reference round-robins per
+        call and keeps NO per-call state — the deterministic set analog is
+        a per-request in-batch rotation whose index continues from a
+        persisted scalar offset (nextCustomUrlIndex), so nothing
+        per-request is ever written."""
+        from crawlee_spark.operators.proxies import rotate_proxies
+
+        with_sessions = self.session_policy is not None
+        existing = None
+        n_existing = 0
+        if os.path.exists(self.proxy_state_dir):
+            existing = self.spark.read.parquet(self.proxy_state_dir)
+            if with_sessions:
+                n_existing = existing.count()
+            else:  # scalar offset table: one row, one long
+                n_existing = existing.collect()[0]["draws"]
+        key = F.col("session_id") if with_sessions else F.col("request_id")
+        keyed = claimed.withColumn("_pkey", key)
+        if with_sessions and existing is not None:
+            fresh = keyed.join(
+                existing.withColumnRenamed("session_key", "_pkey"), "_pkey", "left_anti"
+            )
+        else:
+            fresh = keyed
+        # claim order = ascending signed order_no (forefront first) — and it
+        # is UNIQUE, which the two-phase rank requires; abs() would both
+        # reorder and create cross-sign ties
+        new_map = rotate_proxies(
+            fresh.select("_pkey", F.col("order_no").alias("_ord")),
+            cfg.proxy_urls,
+            session_col="_pkey",
+            order_col="_ord",
+            num_partitions=self.store.num_partitions,
+            rank_offset=n_existing,
+        ).withColumnRenamed("_pkey", "session_key")
+        if with_sessions:
+            new_map.write.mode("append").parquet(self.proxy_state_dir)
+            state = self.spark.read.parquet(self.proxy_state_dir)
+        else:
+            state = new_map.localCheckpoint(eager=True)  # pin before counting
+            self.spark.createDataFrame(
+                [(n_existing + state.count(),)], "draws long"
+            ).write.mode("overwrite").parquet(self.proxy_state_dir)
+        return (
+            keyed.join(
+                state.withColumnRenamed("session_key", "_pkey"), "_pkey", "left"
+            )
+            .drop("_pkey")
+            .withColumn("proxy_tier", F.lit(None).cast("int"))
+        )
+
+    def _assign_tiered_proxies(self, claimed: DataFrame, cfg) -> DataFrame:
+        """Per-domain tier escalation (proxy_configuration.ts:337-368): the
+        ordered claim replay charges each RETRY's previous tier (+10),
+        predicts with decay, and the tracker state — histogram, current
+        tier, rotation index — persists round-to-round per domain.
+        Untouched domains carry their state forward."""
+        from crawlee_spark.functions.keying import host_col
+        from crawlee_spark.operators.proxies import (
+            empty_tracker_state,
+            predict_proxy_tiers,
+            split_assignments,
+        )
+
+        state = (
+            self.spark.read.parquet(self.proxy_state_dir)
+            if os.path.exists(self.proxy_state_dir)
+            else empty_tracker_state(self.spark)
+        )
+        last = (
+            self.spark.read.parquet(self.proxy_last_dir)
+            if os.path.exists(self.proxy_last_dir)
+            else None
+        )
+        att = claimed.select(
+            "request_id",
+            host_col("url").alias("domain"),
+            # replay in claim order: ascending signed order_no (unique)
+            F.col("order_no").alias("_ord"),
+        )
+        if last is not None:
+            att = att.join(last, "request_id", "left")
+        out = predict_proxy_tiers(
+            att,
+            cfg.tiered_proxy_urls,
+            state=state,
+            domain_col="domain",
+            order_col="_ord",
+            request_col="request_id",
+            last_tier_col="last_proxy_tier" if last is not None else None,
+        ).localCheckpoint(eager=True)  # one replay pinned for both outputs
+        assignments, new_state = split_assignments(out)
+        carried = state.join(new_state.select("domain"), "domain", "left_anti")
+        full_state = new_state.unionByName(carried).localCheckpoint(eager=True)
+        full_state.write.mode("overwrite").parquet(self.proxy_state_dir)
+        return claimed.join(
+            assignments.select("request_id", "proxy_tier", "proxy_url"),
+            "request_id",
+            "left",
+        )
+
+    def _update_proxy_last(self, classified: DataFrame) -> None:
+        """Persist the tier each WOULD-RETRY request just used (the
+        userData.__crawlee.lastProxyTier analog, proxy_configuration.ts:
+        349-364): next round's claim replay charges it. Finalized requests
+        drop out; the table is bounded by outstanding retries."""
+        retries = classified.filter(
+            F.col("_outcome").isin("retry", "session_retry")
+        ).select("request_id", F.col("proxy_tier").alias("last_proxy_tier"))
+        if os.path.exists(self.proxy_last_dir):
+            old = self.spark.read.parquet(self.proxy_last_dir)
+            kept = old.join(classified.select("request_id"), "request_id", "left_anti")
+            retries = kept.unionByName(retries)
+        retries.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self.proxy_last_dir
+        )
+
     def _handler_timeout_pred(self):
         """C7: handler_ms over requestHandlerTimeoutSecs (false when either
         side is absent)."""
@@ -374,6 +514,8 @@ class CrawlEngine:
             claimed = assign_sessions(claimed, self.session_pool(), round_id, self.session_policy)
         else:
             claimed = claimed.withColumn("session_id", F.lit(None).cast("string"))
+        if self.options.proxy_config is not None:
+            claimed = self._assign_proxies(claimed)
         claimed = claimed.localCheckpoint(eager=True)  # pin the claim set
         # one aggregate gives the claim count AND the exact url byte mass the
         # fetch-join prune would broadcast (guard on bytes, not just rows)
@@ -796,8 +938,19 @@ class CrawlEngine:
             (F.lit(10) + F.pmod(F.xxhash64("request_id", F.lit(round_id)), F.lit(90))).alias("duration_ms"),
             F.col("_error").alias("error_message"),
             F.col("session_id"),
+            # proxyInfo surface (proxy_configuration.ts:80-115): recorded
+            # per attempt when a proxy policy is configured
+            *(
+                [F.col("proxy_tier"), F.col("proxy_url")]
+                if self.options.proxy_config is not None
+                else []
+            ),
         )
         attempt_rows.write.mode("append").parquet(self.outcomes_dir)
+        if self.options.proxy_config is not None and getattr(
+            self.options.proxy_config, "tiered_proxy_urls", ()
+        ):
+            self._update_proxy_last(classified)
         if self.session_policy is not None:
             # C6 reputation + cookie jars: when the source carries raw
             # Set-Cookie headers (array<string> ``set_cookie``), each

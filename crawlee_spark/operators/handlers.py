@@ -53,6 +53,10 @@ HANDLER_INPUT_COLS = (
     "extracted_text",
     "links",
     "error_messages",
+    # proxyInfo surface (proxy_configuration.ts:80-115) when a proxy
+    # policy is configured on the engine
+    "proxy_tier",
+    "proxy_url",
 )
 
 _ERR_COL = "_handler_error"
