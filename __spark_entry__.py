@@ -1123,6 +1123,33 @@ def q_proxy_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ErrorTracker message grouping (operators/stats.error_message_groups;
+    error_tracker.ts:115-261): two synthetic error families — 'Expected
+    boolean, got v<k>' and 'Timeout after <k> seconds elapsed', k = doc_id%7
+    — must each collapse into ONE word-streak placeholder pattern while
+    never cross-merging (disjoint vocab would be >= 50% placeholder). The
+    DuckDB oracle states the closed form: the two pattern strings with the
+    family row counts and distinct-variant counts (>= 2 variants per family
+    at sf0.01, so the merge always fires)."""
+    from crawlee_spark.operators.stats import error_message_groups
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 7).cast("string")
+    outcomes = d.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("Expected boolean, got v"), k),
+        )
+        .otherwise(F.concat(F.lit("Timeout after "), k, F.lit(" seconds elapsed")))
+        .alias("error_message"),
+        F.lit(1).alias("round_id"),
+    )
+    return error_message_groups(outcomes).select(
+        "error_group", "occurrences", "n_messages", "first_round"
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
     numbers / phones replaced by tokens in the documented pass order, plus
@@ -1274,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "handler_enqueue": q_handler_enqueue,
         "proxy_rotation": q_proxy_rotation,
         "proxy_tiers": q_proxy_tiers,
+        "error_groups": q_error_groups,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -2113,6 +2141,23 @@ SELECT domain,
     ELSE ['http://t1a.proxy','http://t1b.proxy','http://t1c.proxy'][CAST((pos - 1) % 3 AS INT) + 1]
   END AS proxy_url
 FROM t
+""",
+        # closed form of the word-streak merge: each family folds into one
+        # placeholder pattern (variants differ in exactly one word, 1/4 and
+        # 1/5 placeholder ratios pass the <50% cap), families never
+        # cross-merge (disjoint vocab)
+        "error_groups": """
+SELECT 'Expected boolean, got _' AS error_group,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_messages,
+       CAST(1 AS BIGINT) AS first_round
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'Timeout after _ seconds elapsed' AS error_group,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_messages,
+       CAST(1 AS BIGINT) AS first_round
+FROM documents WHERE doc_id % 2 = 1
 """,
         # constructive: the corpus text is digit-free after the strip (and
         # carries no '@'), so the appended PII instances are the only

@@ -110,6 +110,154 @@ def error_summary(outcomes: DataFrame) -> DataFrame:
     )
 
 
+def _find_biggest_word_intersection(a: list, b: list) -> tuple:
+    """Longest common word streak between two tokenized messages
+    (error_tracker.ts:115-147): returns (max_streak, a_index, b_index)."""
+    max_streak, a_idx, b_idx = 0, -1, -1
+    for ai in range(len(a)):
+        start = 0
+        while True:
+            try:
+                bi = b.index(a[ai], start)
+            except ValueError:
+                break
+            streak, aw, bw = 0, ai, bi
+            while aw < len(a) and bw < len(b) and b[bw] == a[aw]:
+                streak += 1
+                aw += 1
+                bw += 1
+            if streak > max_streak:
+                max_streak, a_idx, b_idx = streak, ai, bi
+            start = bi + 1
+    return max_streak, a_idx, b_idx
+
+
+def _calculate_placeholder(a: list, b: list) -> list:
+    """error_tracker.ts:161-186 — keep the biggest shared streak, recurse
+    into the flanks, collapse unshared spans to a single ``_``."""
+    max_streak, ai, bi = _find_biggest_word_intersection(a, b)
+    if max_streak == 0:
+        return ["_"]
+    out: list = []
+    if a[:ai] or b[:bi]:
+        out.extend(_calculate_placeholder(a[:ai], b[:bi]))
+    out.extend(a[ai : ai + max_streak])
+    if a[ai + max_streak :] or b[bi + max_streak :]:
+        out.extend(_calculate_placeholder(a[ai + max_streak :], b[bi + max_streak :]))
+    return out
+
+
+def merge_error_messages(a: str, b: str) -> str | None:
+    """Generalized pattern for two messages, or None when they are too
+    different to share a group (error_tracker.ts:188-221: a pattern that is
+    >= 50% placeholders is rejected — 'status 404' and 'status 503' stay
+    SEPARATE groups, unlike a digit-wildcard would make them)."""
+    out = _calculate_placeholder(a.split(" "), b.split(" "))
+    if out.count("_") / len(out) >= 0.5:
+        return None
+    return " ".join(out)
+
+
+def error_message_groups(
+    outcomes: DataFrame,
+    *,
+    group_cols: tuple = (),
+    message_col: str = "error_message",
+    first_col: str = "round_id",
+    show_full_message: bool = False,
+) -> DataFrame:
+    """Faithful ErrorTracker message grouping (error_tracker.ts:223-261 +
+    golden vectors from test/core/error_tracker.test.ts placeholder #1-#9):
+    messages collapse into word-streak placeholder patterns ('Expected
+    boolean, got _'), but messages that would be >= 50% placeholder stay
+    separate — the fidelity ``error_summary``'s cheap digit-wildcard lacks.
+
+    Spark shape: occurrences are pre-aggregated per DISTINCT first-line
+    message (one map-side-combinable groupBy over the 100-TB outcome log);
+    the inherently sequential pairwise merge then replays only the distinct
+    message dictionary per group partition (``applyInPandas``), bounded by
+    message-template cardinality, never by traffic. Replay order is
+    first-appearance (min ``first_col``, message as tiebreak) — the
+    deterministic set-analog of the reference's arrival order.
+
+    Output: (*group_cols, error_group, occurrences, n_messages,
+    first_round)."""
+    import pandas as pd
+
+    errs = outcomes.filter(F.col(message_col).isNotNull())
+    msg = F.col(message_col)
+    if not show_full_message:
+        # message.slice(0, indexOf('\n')) — error_tracker.ts:239-242
+        msg = F.split(msg, "\n", 2).getItem(0)
+    gcols = list(group_cols)
+    distinct = errs.groupBy(*gcols, msg.alias("_msg")).agg(
+        F.count("*").alias("_n"), F.min(first_col).alias("_first")
+    )
+    if not gcols:
+        distinct = distinct.withColumn("_g", F.lit(0))
+        part_cols = ["_g"]
+    else:
+        part_cols = gcols
+
+    out_fields = [
+        T.StructField(c, T.StringType()) for c in gcols
+    ] + [
+        T.StructField("error_group", T.StringType(), False),
+        T.StructField("occurrences", T.LongType(), False),
+        T.StructField("n_messages", T.LongType(), False),
+        T.StructField("first_round", T.LongType(), True),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_first", "_msg"], kind="mergesort")
+        storage: dict[str, int] = {}
+        meta: dict[str, list] = {}  # pattern -> [n_messages, first_round]
+        # zip, not itertuples: pandas mangles _-prefixed column names there
+        for message, count, first in zip(pdf["_msg"], pdf["_n"], pdf["_first"]):
+            count = int(count)
+            first = None if pd.isna(first) else int(first)
+            if message not in storage:
+                merged = None
+                for existing in list(storage):
+                    pattern = merge_error_messages(message, existing)
+                    if pattern is not None:
+                        merged = (existing, pattern)
+                        break
+                if merged is None:
+                    storage[message] = 0
+                    meta[message] = [0, first]
+                else:
+                    existing, pattern = merged
+                    # delete+reinsert at the end, counts summed (:211-218)
+                    prev_n = storage.pop(existing)
+                    prev_meta = meta.pop(existing)
+                    old_meta = meta.pop(pattern, [0, None])
+                    storage[pattern] = storage.pop(pattern, 0) + prev_n
+                    meta[pattern] = [
+                        prev_meta[0] + old_meta[0],
+                        _min_first(prev_meta[1], old_meta[1]),
+                    ]
+                    message = pattern
+            storage[message] += count
+            meta[message][0] += 1
+            meta[message][1] = _min_first(meta[message][1], first)
+        head = pdf.iloc[0]
+        rows = [
+            tuple(getattr(head, c) for c in gcols)
+            + (pat, int(cnt), int(meta[pat][0]), meta[pat][1])
+            for pat, cnt in storage.items()
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    return distinct.groupBy(*part_cols).applyInPandas(replay, schema=out_schema)
+
+
+def _min_first(*vals):
+    present = [v for v in vals if v is not None]
+    return min(present) if present else None
+
+
 STATISTICS_STATE_KEY = "SDK_CRAWLER_STATISTICS_0"  # statistics.ts:135 key family
 
 

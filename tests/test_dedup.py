@@ -228,3 +228,22 @@ def test_dup_clusters_transitive_survivors(spark):
         10: 10, 11: 10,                   # disjoint pair
         5: 5, 20: 5, 21: 5, 22: 5,       # bridge edge merges the 20s into 5
     }
+
+
+def test_dup_clusters_refuses_truncated_propagation(spark):
+    """ADVICE r4: an iteration budget smaller than the component diameter
+    must RAISE, never return intermediate labels as if they were a complete
+    clustering (a silent cap would diverge from true connected components
+    and from the recursive-CTE oracle)."""
+    from crawlee_spark.operators.dedup import dup_clusters
+
+    # a 7-node path graph needs ~log-diameter rounds of min-label hops;
+    # with max_iterations=1 the far end cannot have converged
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=1)
+    # the same graph under the default budget converges to one cluster
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 8)}

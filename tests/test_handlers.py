@@ -452,3 +452,12 @@ def test_handler_output_columns_cannot_shadow_engine_columns():
         merged_extra_fields(
             {None: RequestHandler(lambda p: p, T.StructType([T.StructField("label", T.StringType())]))}
         )
+    # ADVICE r4: results-dataset-only columns (round_id/text/loaded_url) are
+    # emitted by the round's final select, not carried on the round frame —
+    # shadowing one would yield a duplicate column in the parquet append
+    # mid-crawl, so the up-front check must reserve them too
+    for name in ("round_id", "text", "loaded_url"):
+        with pytest.raises(ValueError, match="collides with an engine column"):
+            merged_extra_fields(
+                {None: RequestHandler(lambda p: p, T.StructType([T.StructField(name, T.StringType())]))}
+            )

@@ -109,3 +109,68 @@ def test_error_summary_groups_generalized_messages(spark):
     assert grp["occurrences"] == 3 and grp["requests"] == 2 and grp["first_round"] == 1
     assert got["Fetch failed: page not found in source"]["occurrences"] == 1
     assert len(got) == 2  # successes contribute nothing
+
+
+def test_merge_error_messages_golden_vectors():
+    """Reference golden vectors, test/core/error_tracker.test.ts placeholder
+    #1-#9: word-streak placeholder merging with the >= 50% generality cap."""
+    from crawlee_spark.operators.stats import merge_error_messages as m
+
+    # placeholder #1/#2: trailing variable word collapses
+    assert m("Expected boolean, got number", "Expected boolean, got string") == \
+        "Expected boolean, got _"
+    assert m("Expected `boolean`, got `number`", "Expected `boolean`, got `string`") == \
+        "Expected `boolean`, got _"
+    # placeholder #3/#4/#5: middle / trailing / leading variable positions
+    assert m("1 2 3", "1 4 3") == "1 _ 3"
+    assert m("1 2 3", "1 2 4") == "1 2 _"
+    assert m("1 2 3", "4 2 3") == "_ 2 3"
+    # placeholder #6: multiple interleaved streaks survive
+    assert m(
+        "The weather is sunny today, but the grass is wet.",
+        "The weather is rainy today, but the grass is still dry.",
+    ) == "The weather is _ today, but the grass is _"
+    # placeholder #7: a multi-word variable span merges into one _
+    assert m("Expected `boolean`, got `number`", "Expected `boolean`, got `falsy value`") == \
+        "Expected `boolean`, got _"
+    # placeholder #8/#9: >= 50% placeholders -> too general, NO group
+    assert m("Expected `boolean`, got `number`", "Expected `string`, got `null`") is None
+    assert m(
+        "Unexpected `show` property in `options` object", "Missing `display` in style"
+    ) is None
+    # unlike the digit wildcard, status families stay apart (the cap)
+    assert m("status 404", "status 503") is None
+
+
+def test_error_message_groups_replay(spark):
+    """End-to-end ErrorTracker analog: distinct messages fold into pattern
+    groups with summed occurrence counts; ungroupable messages stay literal;
+    only the first line of a multi-line message participates
+    (error_tracker.ts:239-242)."""
+    from crawlee_spark.operators.stats import OUTCOME_SCHEMA, error_message_groups
+
+    def row(rid, rnd, msg):
+        return (rid, f"https://a/{rid}", rnd, 0, "fail", None, 10, msg, None)
+
+    rows = [
+        row("r1", 1, "Expected boolean, got number"),
+        row("r2", 1, "Expected boolean, got number"),
+        row("r3", 2, "Expected boolean, got string"),
+        row("r4", 2, "Expected boolean, got undefined"),
+        row("r5", 1, "Timeout after 30 seconds elapsed\n  at stack frame"),
+        row("r6", 3, "Timeout after 60 seconds elapsed"),
+        row("r7", 3, "Completely unrelated parser explosion"),
+        ("r8", "https://a/r8", 3, 0, "success", 200, 10, None, None),
+    ]
+    out = spark.createDataFrame(rows, OUTCOME_SCHEMA)
+    got = {r["error_group"]: r for r in error_message_groups(out).collect()}
+    assert set(got) == {
+        "Expected boolean, got _",
+        "Timeout after _ seconds elapsed",
+        "Completely unrelated parser explosion",
+    }
+    exp = got["Expected boolean, got _"]
+    assert exp["occurrences"] == 4 and exp["n_messages"] == 3 and exp["first_round"] == 1
+    tmo = got["Timeout after _ seconds elapsed"]
+    assert tmo["occurrences"] == 2 and tmo["n_messages"] == 2 and tmo["first_round"] == 1
+    assert got["Completely unrelated parser explosion"]["occurrences"] == 1
