@@ -1150,6 +1150,54 @@ def q_error_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb repetition + format signals per document
+    (text_analysis.gopher_repetition_signals, Rae et al. 2021 §A1.1):
+    duplicate-line character mass, ellipsis/bullet line fractions,
+    alpha-word fraction, symbol ratio, top-{2,3}-gram and duplicate-{5,10}-
+    gram character fractions — every ratio an exact e6 fixed-point BIGINT.
+    Oracle: DuckDB recomputes all signals from scratch with list lambdas +
+    a gram unnest; the top-gram tie-break (max gram among max counts) is
+    restated with an explicit max-count join."""
+    from crawlee_spark.functions.text_analysis import gopher_repetition_signals
+
+    return gopher_repetition_signals(
+        _docs(spark, sf_dir), "text", top_ns=(2, 3), dup_ns=(5, 10)
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + output shards
+    (operators/curation.hash_split_col / shard_col): md5-bucket labels with
+    98/1/1 weights, 16 shards — both pure functions of doc identity, so a
+    recrawl never reshuffles prior assignments. Oracle: DuckDB recomputes
+    the salted md5 buckets and the cumulative-threshold CASE."""
+    from crawlee_spark.operators.curation import hash_split_col, shard_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hash_split_col("doc_id", {"train": 98, "val": 1, "test": 1}).alias("split"),
+        shard_col("doc_id", 16).alias("shard"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/curation.pack_sequences):
+    documents concatenate in doc_id order and chunk into 2048-token windows
+    via the two-phase exclusive prefix sum (range partition + offsets — no
+    unpartitioned window, pinned by test_curation). Oracle: DuckDB restates
+    the prefix with a ROWS window and integer division."""
+    from crawlee_spark.functions.text_analysis import token_count_col
+    from crawlee_spark.operators.curation import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return pack_sequences(d, window_size=2048, partitions=8)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
     numbers / phones replaced by tokens in the documented pass order, plus
@@ -1302,6 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proxy_rotation": q_proxy_rotation,
         "proxy_tiers": q_proxy_tiers,
         "error_groups": q_error_groups,
+        "gopher_quality": q_gopher_quality,
+        "corpus_split": q_corpus_split,
+        "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -2158,6 +2209,107 @@ SELECT 'Timeout after _ seconds elapsed' AS error_group,
        CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS n_messages,
        CAST(1 AS BIGINT) AS first_round
 FROM documents WHERE doc_id % 2 = 1
+""",
+        # full from-scratch recompute: list lambdas for the line/word
+        # signals, gram unnest + max-count join for the n-gram signals;
+        # integer // division mirrors the exact pmod-floor fixed-point
+        "gopher_quality": r"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS BIGINT) AS total_lc,
+    CAST(coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS BIGINT) AS dist_lc,
+    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ell,
+    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS bul,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS sym
+  FROM t
+),
+ns AS (SELECT unnest([2, 3, 5, 10]) AS n),
+idx AS (
+  SELECT doc_id, n, w, unnest(range(0, greatest(len(w) - n + 1, 0))) AS i
+  FROM t, ns
+),
+g AS (SELECT doc_id, n, array_to_string(w[i + 1 : i + n], ' ') AS gram FROM idx),
+c AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ALL),
+m AS (SELECT doc_id, n, max(cnt) AS mc FROM c GROUP BY ALL),
+topg AS (
+  SELECT c.doc_id, c.n, max(c.gram) AS tg, any_value(m.mc) AS mc
+  FROM c JOIN m ON c.doc_id = m.doc_id AND c.n = m.n AND c.cnt = m.mc
+  GROUP BY c.doc_id, c.n
+),
+agg AS (
+  SELECT doc_id, n,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars,
+    CAST(sum(cnt * length(gram)) AS BIGINT) AS tot_chars
+  FROM c GROUP BY ALL
+),
+pern AS (
+  SELECT agg.doc_id, agg.n, topg.mc * length(topg.tg) AS top_chars,
+         agg.dup_chars, agg.tot_chars
+  FROM agg JOIN topg ON agg.doc_id = topg.doc_id AND agg.n = topg.n
+),
+gsig AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN top_chars * 1000000 // tot_chars END) AS t2,
+    max(CASE WHEN n = 3 THEN top_chars * 1000000 // tot_chars END) AS t3,
+    max(CASE WHEN n = 5 THEN dup_chars * 1000000 // tot_chars END) AS d5,
+    max(CASE WHEN n = 10 THEN dup_chars * 1000000 // tot_chars END) AS d10
+  FROM pern GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_words, f.n_lines,
+  CASE WHEN total_lc > 0 THEN (total_lc - dist_lc) * 1000000 // total_lc ELSE 0 END AS dup_line_char_frac_e6,
+  CASE WHEN n_lines > 0 THEN ell * 1000000 // n_lines ELSE 0 END AS ellipsis_line_frac_e6,
+  CASE WHEN n_lines > 0 THEN bul * 1000000 // n_lines ELSE 0 END AS bullet_line_frac_e6,
+  CASE WHEN n_words > 0 THEN alpha * 1000000 // n_words ELSE 0 END AS alpha_word_frac_e6,
+  CASE WHEN n_words > 0 THEN sym * 1000000 // n_words ELSE 0 END AS symbol_word_ratio_e6,
+  coalesce(g.t2, 0) AS top2_char_frac_e6,
+  coalesce(g.t3, 0) AS top3_char_frac_e6,
+  coalesce(g.d5, 0) AS dup5_char_frac_e6,
+  coalesce(g.d10, 0) AS dup10_char_frac_e6
+FROM flat f LEFT JOIN gsig g ON f.doc_id = g.doc_id
+""",
+        # salted md5 buckets recomputed via hex-string cast; thresholds
+        # 98/99 mirror the insertion-order cumulative CASE
+        "corpus_split": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE
+    WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'train'
+    WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 99 THEN 'val'
+    ELSE 'test'
+  END AS split,
+  CAST(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS shard
+FROM documents
+""",
+        # exclusive prefix restated with a ROWS window (fine in DuckDB — the
+        # single-task constraint is a Spark executor concern, not the
+        # oracle's); integer // mirrors the exact pmod-floor division
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+  start_tok // 2048 AS window_id,
+  start_tok % 2048 AS offset_in_window,
+  (start_tok + greatest(n_tokens, 1) - 1) // 2048 AS end_window_id
+FROM p
 """,
         # constructive: the corpus text is digit-free after the strip (and
         # carries no '@'), so the appended PII instances are the only

@@ -272,3 +272,135 @@ def domain_mixture_weights(
             F.expr("(raw_e6 * 1000000L) div _tot").alias("weight_e6"),
         )
     )
+
+
+def frac_e6(num: Column, den: Column) -> Column:
+    """Exact fixed-point ratio: floor(num·10⁶ / den) as BIGINT (0 when the
+    denominator is 0) — integer arithmetic only, so any engine restates it.
+    Shape: subtract the exact ``pmod`` remainder first; the remaining
+    quotient is an exact integer ≤ 10¹², which IEEE double division then
+    returns exactly (both operands and the true result are representable) —
+    no float-floor edge cases."""
+    n = num.cast("long") * F.lit(1_000_000).cast("long")
+    d = den.cast("long")
+    return F.when(d > 0, ((n - F.pmod(n, d)) / d).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def gopher_repetition_signals(
+    df,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> "DataFrame":
+    """Gopher/FineWeb-style per-document repetition + format signals (Rae
+    et al. 2021 §A1.1, the public quality-filter recipe downstream of
+    crawling): the standard pre-training corpus gates that document-level
+    dedup misses.
+
+    Per document, all exact integers / e6 fixed-point (oracle-reproducible):
+
+    - ``dup_line_char_frac_e6`` — characters in repeated lines beyond each
+      line's first occurrence, over total line characters (boilerplate
+      mass a line-level dedup would remove).
+    - ``ellipsis_line_frac_e6`` / ``bullet_line_frac_e6`` — lines ending in
+      ``...``/``…`` resp. starting with ``-``/``*``/``•``.
+    - ``alpha_word_frac_e6`` — words containing at least one ASCII letter.
+    - ``symbol_word_ratio_e6`` — ``#`` and ellipsis occurrences per word.
+    - ``top{n}_char_frac_e6`` (n in ``top_ns``) — characters covered by the
+      MOST FREQUENT word n-gram (count × gram length over total gram
+      characters; ties broken to the lexicographically largest gram on
+      both sides).
+    - ``dup{n}_char_frac_e6`` (n in ``dup_ns``) — characters in n-grams
+      occurring ≥ 2 times (all occurrences counted; overlaps NOT
+      interval-merged — documented deviation from Gopher's char-coverage
+      union, chosen so an independent SQL engine restates the number
+      exactly).
+
+    Scale shape: the line/word signals are pure Column expressions (arrays
+    materialized once per doc — the minhash lesson); the n-gram signals are
+    ONE union of per-n explodes → ONE map-side-combinable
+    ``groupBy(id, n, gram)`` → per-doc conditional aggregation (manual
+    pivot over the tiny fixed n set) → one hash join back. No windows, no
+    driver loops; shuffle mass ≈ distinct (doc, gram) rows."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        tokens_col(F.col(text_col)).alias("_words"),
+    )
+
+    zero = F.lit(0).cast("long")
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: F.length(x).cast("long")), zero, lambda a, x: a + x
+    )
+    total_line_chars = lsum(F.col("_lines"))
+    dup_line_chars = total_line_chars - lsum(F.array_distinct(F.col("_lines")))
+    n_lines = F.size("_lines").cast("long")
+    ellipsis_lines = F.size(
+        F.filter(F.col("_lines"), lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    bullet_lines = F.size(
+        F.filter(F.col("_lines"), lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_words = F.size("_words").cast("long")
+    alpha_words = F.size(
+        F.filter(F.col("_words"), lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    symbols = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    ).cast("long")
+
+    flat = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        frac_e6(dup_line_chars, total_line_chars).alias("dup_line_char_frac_e6"),
+        frac_e6(ellipsis_lines, n_lines).alias("ellipsis_line_frac_e6"),
+        frac_e6(bullet_lines, n_lines).alias("bullet_line_frac_e6"),
+        frac_e6(alpha_words, n_words).alias("alpha_word_frac_e6"),
+        frac_e6(symbols, n_words).alias("symbol_word_ratio_e6"),
+    )
+
+    toks = base.select(id_col, "_words")
+    gram_union = None
+    for n in ns:
+        g = toks.select(
+            id_col,
+            F.lit(n).alias("_n"),
+            F.explode(ngrams_from_tokens(F.col("_words"), n)).alias("_gram"),
+        )
+        gram_union = g if gram_union is None else gram_union.unionByName(g)
+    counts = gram_union.groupBy(id_col, "_n", "_gram").agg(F.count("*").alias("_c"))
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max(F.struct(F.col("_c"), F.col("_gram"))).alias("_top"),
+        F.sum(
+            F.when(F.col("_c") >= 2, F.col("_c") * F.length("_gram")).otherwise(0)
+        ).cast("long").alias("_dup_chars"),
+        F.sum(F.col("_c") * F.length("_gram")).cast("long").alias("_tot_chars"),
+    )
+    top_chars = (F.col("_top._c") * F.length(F.col("_top._gram"))).cast("long")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("_n") == n, frac_e6(top_chars, F.col("_tot_chars")))
+            ).alias(f"top{n}_char_frac_e6")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_n") == n, frac_e6(F.col("_dup_chars"), F.col("_tot_chars"))
+                )
+            ).alias(f"dup{n}_char_frac_e6")
+        )
+    gram_sigs = per_n.groupBy(id_col).agg(*aggs)
+    out = flat.join(gram_sigs, id_col, "left")
+    fill = {f"top{n}_char_frac_e6": 0 for n in top_ns}
+    fill.update({f"dup{n}_char_frac_e6": 0 for n in dup_ns})
+    return out.fillna(fill)

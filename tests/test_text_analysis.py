@@ -126,3 +126,53 @@ def test_domain_mixture_weights(spark):
     prop = {r["domain"]: r["weight_e6"]
             for r in domain_mixture_weights(df, alpha_pct=100).collect()}
     assert prop == {"a": 761904, "b": 190476, "c": 47619}
+
+
+def test_gopher_repetition_signals_vectors(spark):
+    """Hand-computed Gopher signal vectors: duplicate-line mass, ellipsis/
+    bullet line fractions, alpha-word fraction, symbol ratio, top-n-gram
+    and duplicate-n-gram character fractions — all exact e6 fixed-point."""
+    from crawlee_spark.functions.text_analysis import gopher_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b\na b a b\nend ..."),
+            (2, ""),
+            (3, "- item one\n- item two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_signals(df, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    d1 = got[1]
+    # lines 7+7+7 chars, one 7-char repeat -> 7/21
+    assert d1["dup_line_char_frac_e6"] == 333_333
+    assert d1["ellipsis_line_frac_e6"] == 333_333  # 1 of 3 lines
+    assert d1["n_words"] == 10 and d1["alpha_word_frac_e6"] == 900_000  # '...'
+    assert d1["symbol_word_ratio_e6"] == 100_000  # one ellipsis / 10 words
+    # bigrams: 'a b'x4 'b a'x3 'b end' 'end ...' -> 4*3 / 33 chars
+    assert d1["top2_char_frac_e6"] == 363_636
+    # 5-grams: two pairs repeat (2*9 + 2*9) / 60 chars
+    assert d1["dup5_char_frac_e6"] == 600_000
+    d2 = got[2]  # empty text: all zeros, no NULLs from the missing gram rows
+    assert d2["n_words"] == 0 and d2["top2_char_frac_e6"] == 0
+    assert d2["dup5_char_frac_e6"] == 0 and d2["alpha_word_frac_e6"] == 0
+    d3 = got[3]
+    assert d3["bullet_line_frac_e6"] == 1_000_000  # both lines bulleted
+    assert d3["alpha_word_frac_e6"] == 666_666  # '-' tokens carry no letter
+    assert d3["dup_line_char_frac_e6"] == 0
+
+
+def test_gopher_signals_tie_break_is_deterministic(spark):
+    """Equal-count top grams resolve to the lexicographically largest gram
+    on both engines (max over (count, gram) structs)."""
+    from crawlee_spark.functions.text_analysis import gopher_repetition_signals
+
+    # bigrams 'x y' and 'y x' both occur twice; 'y x' wins the tie and is
+    # also 3 chars, so top2 = 2*3 / total
+    df = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    row = gopher_repetition_signals(df, top_ns=(2,), dup_ns=(5,)).collect()[0]
+    # grams: 'x y'x2, 'y x'x2 -> total chars 12, top 6
+    assert row["top2_char_frac_e6"] == 500_000
