@@ -1198,6 +1198,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, window_size=2048, partitions=8)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted LSH index (operators/dedup
+    .build_lsh_index + incremental_lsh_matches): the corpus is indexed once
+    (banded minhash signatures, hot buckets dropped at build); a NEW batch —
+    every 10th document with ' extra' appended, ids +1,000,000 — bucket-joins
+    the index and verifies by exact signature-position agreement (≥ 6 of 12),
+    never rescanning corpus text. Oracle: DuckDB recomputes both sides'
+    signatures, the band buckets, and the per-position agreement sum."""
+    from crawlee_spark.operators.dedup import build_lsh_index, incremental_lsh_matches
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    index = build_lsh_index(d)
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return incremental_lsh_matches(new, index, min_agree=6).select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("old_id").cast("long").alias("old_id"),
+        "agree_cnt",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
     numbers / phones replaced by tokens in the documented pass order, plus
@@ -1353,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "corpus_split": q_corpus_split,
         "pack_sequences": q_pack_sequences,
+        "incremental_dedup": q_incremental_dedup,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -1405,6 +1429,59 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(bands)
     )
+    def _shingle_sql(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_sort(list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])))
+      ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {src})
+)"""
+
+    def _band_sql(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM {src}".format(
+                b=b,
+                key=" || '|' || ".join(f"sig_{b * 3 + r}" for r in range(3)),
+                src=src,
+            )
+            for b in range(4)
+        )
+
+    agree_sum = " + ".join(
+        f"CASE WHEN ns.sig_{i} = os.sig_{i} THEN 1 ELSE 0 END" for i in range(12)
+    )
+    incremental_sql = f"""
+WITH newc AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+{_shingle_sql('osh', 'documents')},
+{_shingle_sql('nsh', 'newc')},
+osig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')} FROM osh),
+nsig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')} FROM nsh),
+obanded AS (
+{_band_sql('osig')}
+),
+oguard AS (
+  SELECT band, band_key, doc_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM obanded
+  ) WHERE bsz <= 1000
+),
+nbanded AS (
+{_band_sql('nsig')}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbanded n JOIN oguard o ON n.band = o.band AND n.band_key = o.band_key
+)
+SELECT c.new_id, c.old_id, CAST({agree_sum} AS BIGINT) AS agree_cnt
+FROM cand c
+JOIN nsig ns ON ns.doc_id = c.new_id
+JOIN osig os ON os.doc_id = c.old_id
+WHERE {agree_sum} >= 6
+"""
+
     minhash_sql = f"""
 WITH {_neardup_sql(True).strip()},
 {_SHINGLE_SQL.strip().replace('sh AS', 'shing AS', 1)},
@@ -1903,6 +1980,7 @@ WHERE len(list_intersect(a.s, b.s)) * 100 >= 80 * (len(a.s) + len(b.s) - len(lis
   AND len(list_intersect(a.s, b.s)) > 0
 """,
         "dedup_minhash_lsh": minhash_sql,
+        "incremental_dedup": incremental_sql,
         "dedup_simhash": simhash_sql,
         "text_quality": f"""
 WITH t AS (

@@ -247,3 +247,47 @@ def test_dup_clusters_refuses_truncated_propagation(spark):
     # the same graph under the default budget converges to one cluster
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_incremental_lsh_matches_twin_not_stranger(spark):
+    """A new batch matched against a persisted index: a lightly mutated twin
+    of an indexed doc is found by signature agreement; an unrelated doc is
+    not; corpus text is never re-read (the index carries signatures)."""
+    from crawlee_spark.operators.dedup import build_lsh_index, incremental_lsh_matches
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "pelicans deliver newspapers to sleepy village porches every morning"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about submarine cables and ocean floors spanning continents")],
+        "doc_id long, text string",
+    )
+    index = build_lsh_index(corpus)
+    new = spark.createDataFrame(
+        [(100, base + " indeed"), (200, "unrelated quarterly report on alpine goat cheese production volumes")],
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["old_id"]): r["agree_cnt"]
+           for r in incremental_lsh_matches(new, index, min_agree=6).collect()}
+    assert (100, 1) in got and got[(100, 1)] >= 6
+    assert all(nid != 200 for nid, _ in got)
+    assert all(oid != 2 for _, oid in got)
+
+
+def test_build_lsh_index_drops_hot_buckets_at_build(spark):
+    """Boilerplate guard lives in the INDEX build: a bucket with more
+    members than max_bucket is dropped once, so incremental batches never
+    pay for it (and can't match into it)."""
+    from crawlee_spark.operators.dedup import build_lsh_index, incremental_lsh_matches
+
+    boiler = "all rights reserved copyright example corp terms of service apply"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    assert build_lsh_index(corpus, max_bucket=3).count() == 0
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    assert (
+        incremental_lsh_matches(new, build_lsh_index(corpus, max_bucket=3)).count()
+        == 0
+    )
