@@ -594,6 +594,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, e, k=5)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized retrieval (similarity.quantize_embeddings +
+    quantized_topk): symmetric per-vector quantization q = floor(v·s),
+    s = 127/max|v|, then exact INTEGER dot-product top-k — the compressed
+    index layout (4× less corpus IO) with fully deterministic integer
+    scores. Oracle: DuckDB requantizes and re-ranks from the raw floats."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.quantized_topk(queries, e, k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1354,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "crawl_quality_rollup": q_crawl_quality_rollup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
@@ -1419,13 +1433,26 @@ def oracle_sql() -> dict[str, str]:
     punct = r"[^A-Za-z0-9\s]"
 
     # ---- minhash oracle (programmatic: 12 perms, 4 bands of 3) ----
+    # signatures are the datasketch affine scheme over ONE md5-derived
+    # 32-bit base hash per shingle: sig_i = min (a_i·h + b_i) mod p — the
+    # (a_i, b_i) constants regenerate from md5 on both sides
+    from crawlee_spark.operators.dedup import MINHASH_PRIME, minhash_perm_consts
+
     num_perm, bands, rows = 12, 4, 3
+    _consts = minhash_perm_consts(num_perm)
+    _hash_sql = (
+        "list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))"
+    )
     sig_cols = ",\n    ".join(
-        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS sig_{i}" for i in range(num_perm)
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_PRIME})) AS sig_{i}"
+        for i, (a, b) in enumerate(_consts)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
-            b=b, key=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -1442,7 +1469,9 @@ def oracle_sql() -> dict[str, str]:
         return "\n  UNION ALL\n".join(
             "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM {src}".format(
                 b=b,
-                key=" || '|' || ".join(f"sig_{b * 3 + r}" for r in range(3)),
+                key=" || '|' || ".join(
+                    f"CAST(sig_{b * 3 + r} AS VARCHAR)" for r in range(3)
+                ),
                 src=src,
             )
             for b in range(4)
@@ -1458,8 +1487,10 @@ WITH newc AS (
 ),
 {_shingle_sql('osh', 'documents')},
 {_shingle_sql('nsh', 'newc')},
-osig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')} FROM osh),
-nsig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')} FROM nsh),
+osig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')}
+         FROM (SELECT doc_id, {_hash_sql} AS h FROM osh)),
+nsig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')}
+         FROM (SELECT doc_id, {_hash_sql} AS h FROM nsh)),
 obanded AS (
 {_band_sql('osig')}
 ),
@@ -1488,7 +1519,7 @@ WITH {_neardup_sql(True).strip()},
 sigs AS (
   SELECT doc_id,
     {sig_cols}
-  FROM (SELECT doc_id, s FROM shing)
+  FROM (SELECT doc_id, {_hash_sql} AS h FROM shing)
 ),
 banded AS (
 {band_rows}
@@ -2094,6 +2125,34 @@ SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
 FROM scored GROUP BY source, lang_pred
 """,
         "ann_cosine_topk": ann_sql,
+        # requantize from the raw floats: identical IEEE double ops
+        # (abs-max, 127/amax, x·s, floor) then pure-integer dot + rank
+        "ann_quantized_topk": f"""
+WITH qz AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE *
+      (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)) AS BIGINT)) AS q
+  FROM qz
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+    list_reduce(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]),
+                (x, y) -> x + y) AS qdot
+  FROM qv a, qv b WHERE a.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, vec_id, qdot,
+    row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank, CAST(qdot AS BIGINT) AS qdot
+FROM ranked WHERE rk <= 5
+""",
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": ivf_sql,
         "ann_ivf_index": ivf_sql,  # identical result by construction

@@ -133,18 +133,49 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_cols(shingles, num_perm: int = 12) -> list:
-    """MinHash signature as ``num_perm`` md5-hex minima.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32 — the datasketch modulus
 
-    Permutation i is simulated by hashing ``'{i}|' + shingle``; the signature
-    component is the lexicographic minimum hex digest — equivalent to a
-    min-hash under a 128-bit random permutation, and reproducible in any
-    engine with md5."""
+
+def minhash_perm_consts(num_perm: int) -> list:
+    """Deterministic (a_i, b_i) affine-permutation constants, derived from
+    md5 so any engine regenerates them: a_i ∈ [1, 2³⁰), b_i ∈ [0, 2³⁰).
+    Bound matters: a·h + b < 2³⁰·2³² + 2³⁰ < 2⁶² never overflows BIGINT in
+    Spark OR DuckDB (DuckDB errors on overflow rather than wrapping)."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:8], 16) % (2**30 - 1) + 1
+        b = int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:8], 16) % (2**30)
+        out.append((a, b))
+    return out
+
+
+def minhash_hashes_col(shingles) -> Column:
+    """Base hash array: ONE md5 per shingle → 32-bit int (first 8 hex
+    chars). The ``num_perm`` signature minima then reuse this array through
+    cheap affine permutations instead of hashing every shingle num_perm
+    times — the datasketch scheme, ~num_perm× less hashing on the hot path.
+    MATERIALIZE this as its own projected column before feeding
+    ``minhash_signature_cols``: referenced 12×, CollapseProject keeps the
+    single evaluation (the repo's expression-tree rule)."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_signature_cols(hashes, num_perm: int = 12) -> list:
+    """MinHash signature: sig_i = min over shingles of (a_i·h + b_i) mod p
+    with p the smallest prime > 2³² — a universal-hash permutation family
+    over the base hashes from ``minhash_hashes_col``. Pure BIGINT
+    arithmetic, bit-identical in any engine."""
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            F.transform(
+                hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
         ).alias(f"sig_{i}")
-        for i in range(num_perm)
+        for i, (a, b) in enumerate(minhash_perm_consts(num_perm))
     ]
 
 
@@ -173,16 +204,21 @@ def with_minhash_bands(
         # then references the computed array instead of re-building (tokenize
         # → n-gram → distinct → sort) num_perm times per document. Re-spread
         # the input first — small corpora arrive as one parquet split, and
-        # the signature math (num_perm md5 passes over every shingle) is the
-        # expensive part worth all cores.
+        # the signature math (one md5 + num_perm affine mins per shingle) is
+        # the expensive part worth all cores.
         spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         sh_frame = spread.select(
             F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
         )
-    sigs = sh_frame.select("_id", *minhash_signature_cols(F.col("_sh"), num_perm))
+    hashed = sh_frame.select("_id", minhash_hashes_col(F.col("_sh")).alias("_h"))
+    sigs = hashed.select("_id", *minhash_signature_cols(F.col("_h"), num_perm))
     band_structs = []
     for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+        key = F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
         band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
     return sigs.select(
         "_id", F.explode(F.array(*band_structs)).alias("_bk")
@@ -593,14 +629,18 @@ def build_lsh_index(
     sh = spread.select(
         F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
     )
-    sigs = sh.select("_id", *minhash_signature_cols(F.col("_sh"), num_perm))
+    hashed = sh.select("_id", minhash_hashes_col(F.col("_sh")).alias("_h"))
+    sigs = hashed.select("_id", *minhash_signature_cols(F.col("_h"), num_perm))
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_perm)])
     rows = num_perm // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
-                F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                )
             ).alias("band_key"),
         )
         for b in range(bands)

@@ -463,3 +463,87 @@ def embedding_neardup_pairs(
         .filter(F.col("score_e6") >= threshold_e6)
         .select("id_a", "id_b", "score_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (memory-/IO-compressed ANN index)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector integer quantization: q_i = floor(v_i · s) with
+    s = (2^(bits-1) − 1) / max|v| — the int8 index layout that shrinks a
+    float32 ANN corpus 4× on disk and in shuffle. Quantized values and all
+    downstream dot products are exact integers, so results are
+    engine-reproducible bit-for-bit (the floats feeding floor are identical
+    IEEE doubles on any engine).
+
+    The abs-max and scale materialize as their OWN columns before the
+    per-element transform references them — the expression-tree rule: a
+    lambda body re-evaluates captured expressions per element, so an
+    embedded array_max would be O(dim²) per row."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    with_amax = df.withColumn(
+        "_amax", F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    )
+    with_scale = with_amax.withColumn(
+        scale_col,
+        F.when(F.col("_amax") > 0, F.lit(qmax) / F.col("_amax")).otherwise(F.lit(0.0)),
+    )
+    return with_scale.withColumn(
+        qvec_col,
+        F.transform(v, lambda x: F.floor(x.cast("double") * F.col(scale_col)).cast("int")),
+    ).drop("_amax")
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Exact top-k by INTEGER dot product over quantized vectors — the
+    compressed-index variant of ``cosine_topk``: 4× less corpus IO, exact
+    integer scores (no float-ranking nondeterminism at all), ranking ties
+    broken by id. Magnitude bound: 127²·dim < 2²⁴·dim fits BIGINT at any
+    realistic dimension.
+
+    Output: (query_id, vec_id, rank, qdot). Note qdot ranks by ANGLE only
+    approximately (per-vector scales differ) — the standard int8 retrieval
+    trade; use cosine_topk for the uncompressed exact ranking."""
+    q = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col)),
+        vec_col=vec_col,
+        bits=bits,
+    ).select("_qid", F.col("qvec").alias("_qq"))
+    c = quantize_embeddings(corpus, vec_col=vec_col, bits=bits).select(
+        id_col, F.col("qvec").alias("_qc")
+    )
+    dot = F.aggregate(
+        F.zip_with("_qq", "_qc", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q)).withColumn("_dot", dot)
+    w = Window.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_dot").alias("qdot"),
+        )
+    )

@@ -165,3 +165,42 @@ def test_kmeans_fit_deterministic_and_improving(spark):
     # iteration 0 centroids are raw vectors (ids 0,1); trained ones are means
     c0 = kmeans_fit(df, k=2, iters=0)
     assert c0 != c1
+
+
+def test_quantized_topk_integer_scores(spark):
+    """int8 quantization: q = floor(v·127/max|v|); top-k ranks by the exact
+    integer dot. Identical vectors score qmax²·(nonzero dims); orthogonal
+    vectors score 0 and rank below."""
+    from crawlee_spark.operators.similarity import quantize_embeddings, quantized_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.5, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    qz = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(corpus).collect()}
+    assert qz[1] == [127, 0, 0, 0]
+    assert qz[3] == [127, 127, 0, 0]  # scale normalizes by the vector's own max
+    got = {
+        (r["query_id"], r["vec_id"]): (r["rank"], r["qdot"])
+        for r in quantized_topk(q, corpus, k=3).collect()
+    }
+    assert got[(10, 1)] == (1, 127 * 127)
+    assert got[(10, 3)] == (2, 127 * 127)  # same dot; id tie-break after 1
+    assert got[(10, 2)] == (3, 0)
+
+
+def test_quantize_zero_vector_is_safe(spark):
+    from crawlee_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert r["qvec"] == [0, 0] and r["qscale"] == 0.0
