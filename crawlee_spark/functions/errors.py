@@ -103,3 +103,31 @@ def push_error_message(
     """``request.pushErrorMessage(error)``: append the formatted message,
     returning the new list (request rows are immutable frame rows here)."""
     return [*(error_messages or []), format_error_message(error, omit_stack=omit_stack)]
+
+
+def error_snapshot_filename_col(error):
+    """ErrorSnapshotter.generateFilename, branch for branch
+    (packages/core/src/crawlers/error_snapshotter.ts:133-160):
+    ``ERROR_SNAPSHOT_<sha1(stack||message)[:30]>_<message[:30].trim()>``
+    with non-word runs collapsed to ``-`` and the whole name capped at 250
+    chars. The engine's error strings serve as both stack and message (they
+    are single formatted lines — request.ts pushErrorMessage output), so
+    the hash input is the full message.
+
+    Pure Column expression; pinned by hashlib/re golden vectors in
+    tests/test_errors.py."""
+    from pyspark.sql import functions as F
+
+    e = F.col(error) if isinstance(error, str) else error
+    stack_hash = F.substring(F.sha1(F.coalesce(e, F.lit(""))), 1, 30)
+    msg_prefix = F.trim(
+        F.substring(F.coalesce(e, F.lit("An error occurred")), 1, 30)
+    )
+
+    def sanitize(c):
+        return F.regexp_replace(c, r"^\W+|\W+$", "")
+
+    raw = F.concat(
+        F.lit("ERROR_SNAPSHOT_"), sanitize(stack_hash), F.lit("_"), sanitize(msg_prefix)
+    )
+    return F.substring(F.regexp_replace(raw, r"\W+", "-"), 1, 250)

@@ -147,6 +147,14 @@ class CrawlOptions:
     # columns on the claim set and the outcomes log. No network — the
     # POLICY is the modeled surface.
     proxy_config: "object | None" = None
+    # ErrorSnapshotter (statisticsOptions.saveErrorSnapshots,
+    # error_snapshotter.ts:42-160): persist errored attempts' page bodies
+    # under ERROR_SNAPSHOT_* keys in the run's KV store. Opt-in; costs one
+    # extra wide checkpoint per round. Snapshot count per round is capped
+    # (deterministically, smallest filenames first) so the driver-side
+    # write loop stays bounded by error-template cardinality.
+    save_error_snapshots: bool = False
+    max_error_snapshots_per_round: int = 100
     # Per-label enqueueLinks options: in the reference each route's handler
     # calls enqueueLinks with its OWN globs/strategy/label (the canonical
     # listing->detail pattern). Maps the ORIGIN page's label to the
@@ -457,6 +465,44 @@ class CrawlEngine:
             self.proxy_last_dir
         )
 
+    def _save_error_snapshots(self, wide: DataFrame) -> None:
+        """ErrorSnapshotter.captureSnapshot as a set operation
+        (error_snapshotter.ts:50-131): errored attempts that still carry a
+        body persist it under the reference's filename scheme
+        (``error_snapshot_filename_col``) in the run's KV store with
+        content-type text/html. One combinable min-per-filename aggregate +
+        ONE bounded collect: filenames hash the full (template-generated)
+        error message, so cardinality is error-template-bounded, and the
+        per-round cap keeps the driver loop finite regardless. First
+        occurrence (min order_no) wins — the deterministic set-analog of the
+        reference's per-occurrence overwrite."""
+        from crawlee_spark.functions.errors import error_snapshot_filename_col
+        from crawlee_spark.operators.kvstore import KeyValueStore
+
+        errs = wide.filter(
+            (F.col("_outcome") != "success")
+            & F.col("_error").isNotNull()
+            & F.col("html").isNotNull()
+        ).select(
+            error_snapshot_filename_col(F.col("_error")).alias("_fn"),
+            F.struct("order_no", "html").alias("_s"),
+        )
+        picked = (
+            errs.groupBy("_fn")
+            .agg(F.min("_s").alias("_s"))
+            .orderBy("_fn")
+            .limit(self.options.max_error_snapshots_per_round)
+            .collect()
+        )
+        if not picked:
+            return
+        kv = KeyValueStore(os.path.join(self.store.root, "kv"))
+        for r in picked:
+            body = r["_s"]["html"]
+            if isinstance(body, str):
+                body = body.encode("utf-8", "replace")
+            kv.set_value(r["_fn"], bytes(body), content_type="text/html")
+
     def _handler_timeout_pred(self):
         """C7: handler_ms over requestHandlerTimeoutSecs (false when either
         side is absent)."""
@@ -697,7 +743,18 @@ class CrawlEngine:
         # raw bodies and probe scratch never outlive extraction: drop them so
         # the checkpointed round frame is narrow — at a 512k-claim round the
         # html column alone would pin tens of GB of executor storage
-        classified = rest.unionByName(ext).drop("html", "_blocked_sel").localCheckpoint(eager=True)
+        if self.options.save_error_snapshots:
+            # opt-in ErrorSnapshotter path: the snapshot capture needs the
+            # bodies of errored rows, so pin the WIDE frame once (the
+            # extraction UDF still runs exactly once — here), capture, then
+            # fall through to the usual narrow checkpoint. The extra wide
+            # pin is this feature's documented cost, mirroring the
+            # reference's own snapshot-write overhead.
+            wide = rest.unionByName(ext).localCheckpoint(eager=True)
+            self._save_error_snapshots(wide)
+            classified = wide.drop("html", "_blocked_sel").localCheckpoint(eager=True)
+        else:
+            classified = rest.unionByName(ext).drop("html", "_blocked_sel").localCheckpoint(eager=True)
         # ---- user hooks AFTER the extraction checkpoint (their plans — and
         # the router's no-route probe — must never recompute the extraction
         # UDF) but BEFORE the round aggregate, so their reclassifications

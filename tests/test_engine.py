@@ -595,3 +595,39 @@ def test_skip_navigation_requests_bypass_fetch(spark, tmp_store_dir, pages):
     for r in results.values():
         assert r["text"] is None
         assert r["loaded_url"] is None  # no navigation -> no response url
+
+
+def test_error_snapshots_saved_to_kv(spark, tmp_store_dir):
+    """saveErrorSnapshots (error_snapshotter.ts, statisticsOptions): errored
+    attempts with a body persist it under ERROR_SNAPSHOT_* KV keys; disabled
+    by default; fetch-miss errors (no body) save nothing."""
+    from crawlee_spark.operators.kvstore import KeyValueStore
+
+    challenge = (
+        '<html><body><div id="turnstile-wrapper">'
+        '<iframe src="https://challenges.cloudflare.com/t"></iframe></div></body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://x.com/blocked", challenge, 200, "text/html")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    seeds = spark.createDataFrame(
+        [("https://x.com/blocked",), ("https://x.com/ghost",)], "url string"
+    )
+    engine = build_engine(
+        spark, tmp_store_dir, pages,
+        options=CrawlOptions(
+            max_rounds=2, max_session_rotations=0, save_error_snapshots=True
+        ),
+    )
+    engine.run(seeds)
+    import os
+
+    kv = KeyValueStore(os.path.join(engine.store.root, "kv"))
+    snaps = [k for k in kv.list_keys() if k.startswith("ERROR_SNAPSHOT_")]
+    # the blocked page (has a body) snapshots once per distinct message;
+    # the ghost url errors with NO body and must not appear
+    assert snaps, "expected at least one snapshot"
+    assert all("Fetch-failed" not in k for k in snaps)
+    body = kv.get_value(snaps[0])
+    assert b"turnstile-wrapper" in body

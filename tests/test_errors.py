@@ -91,3 +91,36 @@ def test_push_appends_and_preserves_existing():
     msgs = push_error_message(None, RuntimeError("first"))
     msgs = push_error_message(msgs, {"message": "second"})
     assert msgs == ["RuntimeError: first", "second"]
+
+
+def test_error_snapshot_filename_golden(spark):
+    """error_snapshot_filename_col mirrors ErrorSnapshotter.generateFilename
+    (error_snapshotter.ts:133-160) — verified against a direct hashlib/re
+    re-implementation of the reference algorithm."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crawlee_spark.functions.errors import error_snapshot_filename_col
+
+    def reference(message):
+        stack_hash = hashlib.sha1((message or "").encode()).hexdigest()[:30]
+        prefix = (message or "An error occurred")[:30].strip()
+        san = lambda s: re.sub(r"^\W+|\W+$", "", s)  # noqa: E731
+        name = f"ERROR_SNAPSHOT_{san(stack_hash)}_{san(prefix)}"
+        return re.sub(r"\W+", "-", name)[:250]
+
+    msgs = [
+        "Request failed with status 503",
+        "  ...weird leading punctuation!! and a very long message " + "x" * 300,
+        "Antibot protection detected. Found selectors: #turnstile-wrapper",
+        "TypeError: Cannot read properties of undefined (reading 'foo')",
+        "short",
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "err string")
+    got = [
+        r["fn"]
+        for r in df.select(error_snapshot_filename_col("err").alias("fn")).collect()
+    ]
+    assert got == [reference(m) for m in msgs]
