@@ -155,6 +155,10 @@ class CrawlOptions:
     # write loop stays bounded by error-template cardinality.
     save_error_snapshots: bool = False
     max_error_snapshots_per_round: int = 100
+    # E5 extension (HttpCrawlerOptions.additionalMimeTypes,
+    # http-crawler.ts:146/:301/:361): content types accepted IN ADDITION to
+    # the built-in SUPPORTED_MIME prefixes
+    additional_mime_types: "tuple[str, ...]" = ()
     # Per-label enqueueLinks options: in the reference each route's handler
     # calls enqueueLinks with its OWN globs/strategy/label (the canonical
     # listing->detail pattern). Maps the ORIGIN page's label to the
@@ -620,7 +624,7 @@ class CrawlEngine:
 
         # ---- outcome classification (C4 decision table)
         mime_ok = F.lit(False)
-        for m in SUPPORTED_MIME:
+        for m in SUPPORTED_MIME + tuple(self.options.additional_mime_types):
             mime_ok = mime_ok | F.col("content_type").startswith(m)
         can_retry = F.col("retry_count") < F.coalesce(
             F.col("max_retries"), F.lit(self.options.max_request_retries)

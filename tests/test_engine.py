@@ -631,3 +631,26 @@ def test_error_snapshots_saved_to_kv(spark, tmp_store_dir):
     assert all("Fetch-failed" not in k for k in snaps)
     body = kv.get_value(snaps[0])
     assert b"turnstile-wrapper" in body
+
+
+def test_additional_mime_types_accepted(spark, tmp_store_dir):
+    """E5 extension (HttpCrawlerOptions.additionalMimeTypes,
+    http-crawler.ts:146): a content type outside the built-in set fails by
+    default but succeeds when declared additional."""
+    pages = spark.createDataFrame(
+        [("https://x.com/feed", b"<item>hello world</item>", 200, "application/rss+xml")],
+        "url string, html binary, status_code int, content_type string",
+    )
+    seeds = spark.createDataFrame([("https://x.com/feed",)], "url string")
+
+    def run(tag, extra):
+        import os
+        engine = build_engine(
+            spark, os.path.join(tmp_store_dir, tag), pages,
+            options=CrawlOptions(max_rounds=1, additional_mime_types=extra),
+        )
+        engine.run(seeds)
+        return engine.outcomes().collect()[0]["outcome"]
+
+    assert run("default", ()) == "fail"
+    assert run("extended", ("application/rss+xml",)) == "success"
