@@ -1234,6 +1234,52 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed incremental-recrawl pipeline: a refresh batch (near-dup
+    twins of every 10th corpus doc + brand-new docs) runs index-match →
+    near-dup drop → quality gate (≥ 5 tokens) → deterministic split/shard —
+    the full 'what do I do with a recrawl' path, each stage an
+    already-oracle-proven operator, composed in ONE plan. Twins must come
+    back matched (no split); fresh docs unmatched, split and sharded
+    stably. Oracle: DuckDB composes the same recomputations."""
+    from crawlee_spark.functions.text_analysis import token_count_col
+    from crawlee_spark.operators.curation import hash_split_col, shard_col
+    from crawlee_spark.operators.dedup import build_lsh_index, incremental_lsh_matches
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    index = build_lsh_index(d)
+    twins = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    fresh = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh standalone document regarding topic number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    new = twins.unionByName(fresh)
+    matched = (
+        incremental_lsh_matches(new, index, min_agree=6)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_m", F.lit(True))
+    )
+    flagged = new.join(matched, "doc_id", "left").withColumn(
+        "matched", F.coalesce(F.col("_m"), F.lit(False))
+    )
+    kept = ~F.col("matched") & (token_count_col("text") >= 5)
+    return flagged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "matched",
+        F.when(kept, hash_split_col("doc_id", {"train": 98, "val": 1, "test": 1})).alias(
+            "split"
+        ),
+        F.when(kept, shard_col("doc_id", 16)).alias("shard"),
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrubbing (functions/pii.py): emails / IPv4 / card
     numbers / phones replaced by tokens in the documented pass order, plus
@@ -1391,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "pack_sequences": q_pack_sequences,
         "incremental_dedup": q_incremental_dedup,
+        "recrawl_refresh": q_recrawl_refresh,
         "pii_redaction": q_pii_redaction,
         "ngram_vocab": q_ngram_vocab,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -1511,6 +1558,61 @@ FROM cand c
 JOIN nsig ns ON ns.doc_id = c.new_id
 JOIN osig os ON os.doc_id = c.old_id
 WHERE {agree_sum} >= 6
+"""
+
+    recrawl_sql = f"""
+WITH newc AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+    'fresh standalone document regarding topic number ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 5
+),
+{_shingle_sql('osh', 'documents')},
+{_shingle_sql('nsh', 'newc')},
+osig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')}
+         FROM (SELECT doc_id, {_hash_sql} AS h FROM osh)),
+nsig AS (SELECT doc_id, {sig_cols.replace(chr(10) + '    ', ' ')}
+         FROM (SELECT doc_id, {_hash_sql} AS h FROM nsh)),
+obanded AS (
+{_band_sql('osig')}
+),
+oguard AS (
+  SELECT band, band_key, doc_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM obanded
+  ) WHERE bsz <= 1000
+),
+nbanded AS (
+{_band_sql('nsig')}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbanded n JOIN oguard o ON n.band = o.band AND n.band_key = o.band_key
+),
+matched AS (
+  SELECT DISTINCT c.new_id FROM cand c
+  JOIN nsig ns ON ns.doc_id = c.new_id
+  JOIN osig os ON os.doc_id = c.old_id
+  WHERE {agree_sum} >= 6
+),
+tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+  FROM newc
+)
+SELECT n.doc_id, (m.new_id IS NOT NULL) AS matched,
+  CASE WHEN m.new_id IS NULL AND t.ntok >= 5 THEN
+    CASE WHEN CAST(('0x' || substr(md5('split' || CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'train'
+         WHEN CAST(('0x' || substr(md5('split' || CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 99 THEN 'val'
+         ELSE 'test' END
+  END AS split,
+  CASE WHEN m.new_id IS NULL AND t.ntok >= 5 THEN
+    CAST(CAST(('0x' || substr(md5('shard' || CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT)
+  END AS shard
+FROM newc n
+LEFT JOIN matched m ON n.doc_id = m.new_id
+JOIN tok t ON t.doc_id = n.doc_id
 """
 
     minhash_sql = f"""
@@ -2012,6 +2114,7 @@ WHERE len(list_intersect(a.s, b.s)) * 100 >= 80 * (len(a.s) + len(b.s) - len(lis
 """,
         "dedup_minhash_lsh": minhash_sql,
         "incremental_dedup": incremental_sql,
+        "recrawl_refresh": recrawl_sql,
         "dedup_simhash": simhash_sql,
         "text_quality": f"""
 WITH t AS (
