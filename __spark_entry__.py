@@ -45,6 +45,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism before
+    heavy per-row work (UDFs, hash/regex chains): the sf tables are
+    single-row-group parquet files, so without this the whole per-row pass
+    runs in ONE task no matter how many splits the scan planner makes (a
+    parquet reader only materializes row groups whose midpoint falls in its
+    split). The shuffled bytes are tiny next to the per-row compute."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _url_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URL per document, exercising each normalizeUrl rule:
     doc_id%4 = 0 upper-case scheme+host | 1 utm+unsorted query | 2 fragment |
@@ -181,7 +191,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_url_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D4: normalizeUrl kernel (pandas UDF), request id, host columns."""
-    uni = _url_universe(spark, sf_dir)
+    uni = _spread(_url_universe(spark, sf_dir))
     uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
     return uni.select(
         "doc_id",
@@ -202,7 +212,7 @@ def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffixes (xn--55qx5d.cn = 公司.cn), IPs, single-label hosts and
     bare-suffix hosts (all → NULL). The DuckDB oracle recomputes the PSL
     longest-match algorithm independently from the same rule set."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     ds = F.col("doc_id").cast("string")
     m = F.col("doc_id") % 13
     host = (
@@ -237,7 +247,7 @@ def q_enqueue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.col("base_url"), F.lit("#dup")).alias("url"),
                 (F.col("doc_id") * 2 + 1).alias("arrival"))
     )
-    cand = first.unionByName(dups)
+    cand = _spread(first.unionByName(dups))
     uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
     return (
         cand.withColumn("unique_key", uk)
@@ -324,7 +334,7 @@ def q_stats_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: byte-identical htmlToText over synthesized HTML (the oracle derives
     the expected text independently from the block/whitespace rules)."""
-    uni = _url_universe(spark, sf_dir)
+    uni = _spread(_url_universe(spark, sf_dir))
     html = F.concat(
         F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
         F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
@@ -335,7 +345,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: extractUrlsFromCheerio with relative-href resolution against the
     page URL."""
-    uni = _url_universe(spark, sf_dir)
+    uni = _spread(_url_universe(spark, sf_dir))
     html = F.concat(
         F.lit('<html><body><a href="/docs/'), ((F.col("doc_id") + 1)).cast("string"),
         F.lit('">n</a><a href="https://other.example.net/x/'), (F.col("doc_id") % 97).cast("string"),
@@ -351,7 +361,7 @@ def q_extract_urls_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/E8: URL_NO_COMMAS_REGEX scan over plain text (comma terminates)."""
     from crawlee_spark.sources.urls import extract_urls_col
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     line = F.concat(
         F.lit("visit https://www."), F.col("source"), F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
@@ -385,7 +395,7 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5: <urlset> XML parse — loc/lastmod/changefreq/priority rules."""
     from crawlee_spark.sources.sitemap import parse_sitemap_xml
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     ds = F.col("doc_id").cast("string")
     xml = F.concat(
         F.lit("<urlset><url><loc>https://www."), F.col("source"), F.lit(".example.com/docs/"), ds,
@@ -446,7 +456,7 @@ def q_social_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
         social_handles_cols,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     ds = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<p>mail a"), ds, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
@@ -471,7 +481,7 @@ def q_blocked_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     iframe, 3 a decoy (right id, wrong iframe src), else clean."""
     from crawlee_spark.functions.html_text import blocked_selectors_udf
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     html = (
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -500,7 +510,7 @@ def q_blocked_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _neardup_corpus(spark, sf_dir, mutate=False)
+    corpus = _spread(_neardup_corpus(spark, sf_dir, mutate=False))
     return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
 
 
@@ -526,7 +536,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -547,7 +557,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shape every 100 TB curation job takes: each stage is one of the
     already-verified operators, composed in a single plan."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     surv = DD.exact_dedup_groups(d).select(F.col("survivor_id").alias("doc_id"))
     kept = d.join(surv, "doc_id")
     feats = kept.select(
@@ -568,7 +578,7 @@ def q_crawl_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTRACTED text → per-(source, lang) rollup. The shape of a production
     crawl-to-training-data job; every stage is an already-verified operator
     composed without materialization boundaries."""
-    uni = _url_universe(spark, sf_dir)
+    uni = _spread(_url_universe(spark, sf_dir))
     html = F.concat(
         F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
         F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
@@ -833,7 +843,7 @@ def q_sitemap_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gz_udf(xml: pd.Series) -> pd.Series:
         return xml.map(lambda s: gzip.compress(s.encode(), mtime=0))
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     xml = F.concat(
         F.lit("<urlset><url><loc>https://"), F.col("source"),
         F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
@@ -1204,7 +1214,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawlee_spark.functions.text_analysis import token_count_col
     from crawlee_spark.operators.curation import pack_sequences
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         token_count_col("text").alias("n_tokens"),
     )
@@ -1289,7 +1299,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``@`` characters in the corpus text)."""
     from crawlee_spark.functions.pii import pii_count_cols, redact_pii_col
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     ds = F.col("doc_id").cast("string")
     clean = F.regexp_replace(F.col("text"), "[0-9]", "")
     raw = F.concat(

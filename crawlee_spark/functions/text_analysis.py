@@ -327,7 +327,12 @@ def gopher_repetition_signals(
     pivot over the tiny fixed n set) → one hash join back. No windows, no
     driver loops; shuffle mass ≈ distinct (doc, gram) rows."""
     ns = sorted(set(top_ns) | set(dup_ns))
-    base = df.select(
+    # re-spread single-split inputs before the per-row lambda math (the
+    # repo's repartition-before-heavy-math rule); the repartition Exchange
+    # is additionally REUSED by both join branches below, so the scan +
+    # split + tokenize run once instead of once per branch
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = spread.select(
         F.col(id_col),
         F.col(text_col).alias("_t"),
         F.split(F.col(text_col), "\n").alias("_lines"),

@@ -42,19 +42,35 @@ from crawlee_spark.functions.text_analysis import tokens_col
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text, n: int = 3):
-    """Distinct word n-grams of ``text`` (sorted for determinism).
+def shingles_from_tokens(words, n: int = 3):
+    """Distinct word n-grams (sorted for determinism) from an
+    ALREADY-MATERIALIZED token-array column.
+
+    ``words`` must be a plain column reference, not an expression: every
+    ``element_at(words, ·)`` inside the gram lambda re-evaluates its
+    argument, so an inlined tokenizer re-runs the split once per gram —
+    measured 6× the whole stage cost at sf1.0 (the repo's
+    expression-tree rule). Callers tokenize into a projected column first.
 
     Documents with fewer than ``n`` tokens contribute their whole token
     sequence as a single shingle, so short docs still dedup."""
-    words = tokens_col(text)
-    k = F.size(words)
+    w = F.col(words) if isinstance(words, str) else words
+    k = F.size(w)
     grams = F.transform(
         F.sequence(F.lit(1), k - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
     )
-    short = F.array(F.concat_ws(" ", words))
+    short = F.array(F.concat_ws(" ", w))
     return F.array_sort(F.array_distinct(F.when(k >= n, grams).otherwise(short)))
+
+
+def shingles_col(text, n: int = 3):
+    """Distinct word n-grams of ``text`` (sorted for determinism).
+
+    Convenience form for tests/small frames ONLY: the tokenizer is inlined
+    into the gram lambda here, so it re-runs per gram. Hot paths tokenize
+    into a column and call ``shingles_from_tokens`` instead."""
+    return shingles_from_tokens(tokens_col(text), n)
 
 
 # ---------------------------------------------------------------------------
@@ -100,11 +116,15 @@ def ngram_jaccard_pairs(
 
     The block column bounds the quadratic self-join (pairs only form inside a
     block); for unblocked corpora use ``minhash_lsh_pairs``."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        shingles_col(F.col(text_col), n).alias("_sh"),
-    ).localCheckpoint(eager=True)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            tokens_col(F.col(text_col)).alias("_w"),
+        )
+        .select("_id", "_blk", shingles_from_tokens("_w", n).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
     # pinned: both self-join branches reuse the computed shingle arrays
     # instead of re-running tokenize→n-gram→distinct→sort per branch
     a = base.select(
@@ -208,8 +228,8 @@ def with_minhash_bands(
         # the expensive part worth all cores.
         spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         sh_frame = spread.select(
-            F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
-        )
+            F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_w")
+        ).select("_id", shingles_from_tokens("_w", n).alias("_sh"))
     hashed = sh_frame.select("_id", minhash_hashes_col(F.col("_sh")).alias("_h"))
     sigs = hashed.select("_id", *minhash_signature_cols(F.col("_h"), num_perm))
     band_structs = []
@@ -254,9 +274,11 @@ def minhash_lsh_pairs(
     # re-runs the 12 md5 passes) per branch, which measured ~2× the whole
     # operator's cost at sf0.1
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
-    ).localCheckpoint(eager=True)
+    sh = (
+        spread.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_w"))
+        .select("_id", shingles_from_tokens("_w", n).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
     banded = with_minhash_bands(
         sh, shingled=True, num_perm=num_perm, bands=bands
     ).localCheckpoint(eager=True)
@@ -627,8 +649,8 @@ def build_lsh_index(
     ``band_key`` prefix so the incremental join is co-located."""
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = spread.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
-    )
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_w")
+    ).select("_id", shingles_from_tokens("_w", n).alias("_sh"))
     hashed = sh.select("_id", minhash_hashes_col(F.col("_sh")).alias("_h"))
     sigs = hashed.select("_id", *minhash_signature_cols(F.col("_h"), num_perm))
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_perm)])

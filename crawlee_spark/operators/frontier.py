@@ -114,7 +114,10 @@ def candidates_to_requests(
         out = out.withColumn("request_id", request_id_col("unique_key"))
     out = (
         out.withColumn("host", host_col("url"))
-        .withColumn("registrable_domain", registrable_domain_col(host_col("url")))
+        # reference the computed host column (CollapseProject keeps the
+        # single evaluation — host_col is a try_parse_url, ~1µs/row; the
+        # old inline form parsed every URL twice)
+        .withColumn("registrable_domain", registrable_domain_col(F.col("host")))
         .withColumn("forefront", F.lit(forefront) if "forefront" not in cols else F.col("forefront"))
         .withColumn(
             "crawl_depth",

@@ -35,6 +35,18 @@ def _c(col):
     return F.col(col) if isinstance(col, str) else col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The corpus side of every scorer does heavy per-row math (interpreted
+    higher-order-function folds); a small single-row-group parquet input
+    otherwise pins that whole pass to ONE task regardless of split planning
+    (a parquet reader only materializes row groups whose midpoint falls in
+    its split). The shuffled bytes are tiny next to the per-row compute —
+    the repo's repartition-before-heavy-math rule."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot_col(a, b):
     """Σ aᵢ·bᵢ in index order, double precision."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
@@ -72,10 +84,25 @@ def cosine_topk(
     Scale: the query side is broadcast (ANN workloads query with a small
     batch against a huge corpus); the corpus is scanned once, the per-query
     top-k is a window over |corpus|·|queries| scored rows. For large query
-    batches switch to ``lsh_ann_topk``."""
-    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("_cvec"))
-    scored = c.join(F.broadcast(q)).withColumn("_score", cosine_col("_qvec", "_cvec"))
+    batches switch to ``lsh_ann_topk``.
+
+    Each side's squared norm is materialized ONCE per row before the join
+    (the norms are per-vector, not per-pair — inlining ``cosine_col`` here
+    would fold each 64-dim norm aggregate |queries|× per corpus row, and
+    the optimizer additionally duplicates it into the null-guard CASE
+    branch: 5 folds per pair instead of 1). Same IEEE doubles, ~5× less
+    per-pair work."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qn", norm_sq_col("_qvec"))
+    c = _spread(
+        corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("_cvec"))
+    ).withColumn("_cn", norm_sq_col("_cvec"))
+    score = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot_col("_qvec", "_cvec") / F.sqrt(F.col("_qn") * F.col("_cn")),
+    )
+    scored = c.join(F.broadcast(q)).withColumn("_score", score)
     w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -172,15 +199,17 @@ def lsh_ann_topk(
     q = with_lsh_buckets(
         queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
         vec_col="_qvec", dim=dim, nbits=nbits, out_col="bucket",
-    )
+    ).withColumn("_qn", norm_sq_col("_qvec"))
     c = with_lsh_buckets(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")),
+        _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))),
         vec_col="_cvec", dim=dim, nbits=nbits, out_col="bucket",
-    )
+    ).withColumn("_cn", norm_sq_col("_cvec"))
     c = lsh_bucket_guard(c, max_bucket)
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "_score", cosine_col("_qvec", "_cvec")
+    score = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot_col("_qvec", "_cvec") / F.sqrt(F.col("_qn") * F.col("_cn")),
     )
+    scored = c.join(F.broadcast(q), "bucket").withColumn("_score", score)
     w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -200,11 +229,29 @@ def with_centroid_scores(df: DataFrame, vec_col: str, centroids: list[list[float
     MUST be columns, not inlined expressions: the downstream argmin chains
     reference each score several times, and inlining the 64-literal cosine
     tree into every reference explodes the plan exponentially (OOM in the
-    analyzer before a single row is read)."""
+    analyzer before a single row is read).
+
+    The vector's squared norm is materialized once (it is the same for all
+    centroids — inlining it per score column costs 2·k extra 64-dim folds
+    per row), and each centroid's squared norm is folded on the DRIVER in
+    array-index order — the identical left-associated IEEE-double sum the
+    in-plan aggregate would produce, so scores are bit-identical."""
+    vn = f"_vn_{prefix}"
+    df = df.withColumn(vn, norm_sq_col(vec_col))
     for i, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        df = df.withColumn(f"{prefix}{i}", F.coalesce(cosine_col(vec_col, carr), F.lit(-2.0)))
-    return df
+        cn = 0.0
+        for x in c:
+            cn = cn + float(x) * float(x)
+        if cn > 0:
+            score = F.when(
+                F.col(vn) > 0,
+                dot_col(vec_col, carr) / F.sqrt(F.col(vn) * F.lit(cn)),
+            )
+        else:
+            score = F.lit(None).cast("double")
+        df = df.withColumn(f"{prefix}{i}", F.coalesce(score, F.lit(-2.0)))
+    return df.drop(vn)
 
 
 def _argmax_excluding(n: int, prefix: str, excluded: list):
@@ -249,7 +296,7 @@ def kmeans_fit(
         [float(x) for x in r[vec_col]]
         for r in corpus.orderBy(id_col).limit(k).collect()
     ]
-    src = corpus.select(F.col(vec_col).alias("_v"))
+    src = _spread(corpus.select(F.col(vec_col).alias("_v")))
     for _ in range(iters):
         assigned = with_centroid_scores(src, "_v", cents, "_ks").withColumn(
             "_cell", _argmax_excluding(len(cents), "_ks", [])
@@ -301,11 +348,11 @@ def ivf_topk(
         corpus, k=n_centroids, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
     c = with_centroid_scores(
-        corpus.select(id_col, F.col(vec_col).alias("_cvec")), "_cvec", cents, "_cs"
+        _spread(corpus.select(id_col, F.col(vec_col).alias("_cvec"))), "_cvec", cents, "_cs"
     )
     c = c.withColumn("ivf_cell", _argmax_excluding(n_centroids, "_cs", [])).drop(
         *[f"_cs{i}" for i in range(n_centroids)]
-    )
+    ).withColumn("_cn", norm_sq_col("_cvec"))
     # each query probes its nprobe nearest cells (p-th pick materialized as
     # a column so later picks reference it by name, keeping the plan linear)
     q = with_centroid_scores(
@@ -321,10 +368,14 @@ def ivf_topk(
     # pin the (small) query batch: projection collapse otherwise nests the
     # probe argmax chains exponentially (see ivf_search_index note) and the
     # optimizer/toString pays for it on every downstream action
-    q = q.localCheckpoint(eager=True)
+    q = q.withColumn("_qn", norm_sq_col("_qvec")).localCheckpoint(eager=True)
+    score = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot_col("_qvec", "_cvec") / F.sqrt(F.col("_qn") * F.col("_cn")),
+    )
     scored = (
         c.join(F.broadcast(q), F.array_contains(F.col("_cells"), F.col("ivf_cell")))
-        .withColumn("_score", cosine_col("_qvec", "_cvec"))
+        .withColumn("_score", score)
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
     return (
@@ -360,7 +411,7 @@ def ivf_write_index(
 
     cents = kmeans_fit(corpus, k=n_centroids, iters=train_iters, id_col=id_col, vec_col=vec_col)
     assigned = with_centroid_scores(
-        corpus.select(id_col, F.col(vec_col).alias("_v")), "_v", cents, "_cs"
+        _spread(corpus.select(id_col, F.col(vec_col).alias("_v"))), "_v", cents, "_cs"
     )
     assigned = assigned.withColumn("ivf_cell", _argmax_excluding(n_centroids, "_cs", [])).drop(
         *[f"_cs{i}" for i in range(n_centroids)]
@@ -409,15 +460,20 @@ def ivf_search_index(
     # exponentially-nested literal tree whose mere toString OOMs the driver
     # (same pathology with_centroid_scores documents) — and the probed-cell
     # collect below would pay it twice
-    q = q.localCheckpoint(eager=True)
+    q = q.withColumn("_qn", norm_sq_col("_qvec")).localCheckpoint(eager=True)
     probed = sorted(
         {int(r["c"]) for r in q.select(F.explode("_cells").alias("c")).distinct().collect()}
     )
     corpus = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probed))
+    score = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot_col("_qvec", "_cvec") / F.sqrt(F.col("_qn") * F.col("_cn")),
+    )
     scored = (
         corpus.select(id_col, F.col(vec_col).alias("_cvec"), "ivf_cell")
+        .withColumn("_cn", norm_sq_col("_cvec"))
         .join(F.broadcast(q), F.array_contains(F.col("_cells"), F.col("ivf_cell")))
-        .withColumn("_score", cosine_col("_qvec", "_cvec"))
+        .withColumn("_score", score)
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col(id_col).asc())
     return (
@@ -448,16 +504,24 @@ def embedding_neardup_pairs(
     boilerplate-heavy corpus would otherwise dominate the whole job).
 
     Output: (id_a, id_b, score_e6)."""
-    bucketed = with_lsh_buckets(df.select(id_col, vec_col), vec_col=vec_col, dim=dim, nbits=nbits)
+    bucketed = with_lsh_buckets(
+        _spread(df.select(id_col, vec_col)), vec_col=vec_col, dim=dim, nbits=nbits
+    ).withColumn("_n", norm_sq_col(vec_col))
     bucketed = lsh_bucket_guard(bucketed, max_bucket)
     a = bucketed.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = bucketed.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    score = F.floor(cosine_col("_va", "_vb") * 1_000_000).cast("long")
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot_col("_va", "_vb") / F.sqrt(F.col("_na") * F.col("_nb")),
+    )
+    score = F.floor(cos * 1_000_000).cast("long")
     return (
         pairs.withColumn("score_e6", score)
         .filter(F.col("score_e6") >= threshold_e6)
@@ -527,7 +591,7 @@ def quantized_topk(
         vec_col=vec_col,
         bits=bits,
     ).select("_qid", F.col("qvec").alias("_qq"))
-    c = quantize_embeddings(corpus, vec_col=vec_col, bits=bits).select(
+    c = quantize_embeddings(_spread(corpus), vec_col=vec_col, bits=bits).select(
         id_col, F.col("qvec").alias("_qc")
     )
     dot = F.aggregate(

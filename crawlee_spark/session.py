@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd parquet: ~37% smaller frontier snapshots than snappy at the
+        # same or better write wall-time (measured on the 5M-row enqueue
+        # commit: 248→156 MB, 6.35→5.58 s end-to-end) — guide §6; on a
+        # cluster the byte cut is also network/IO headroom at compaction
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -111,3 +111,30 @@ def test_registrable_domain_full_psl():
     # bare TLD and bare multi-label suffix: no registrable domain
     assert registrable_domain_py("com") is None
     assert registrable_domain_py("co.uk") is None
+
+
+def test_fast_path_regex_is_identity_on_normalized_urls():
+    """The keying kernel's fast-path regex may match ONLY urls that are
+    fixed points of normalize_url_py (for both keep_fragment values) — the
+    r6 optimization that skips urlsplit for already-normalized frontier
+    rows. Structured sweep + targeted tricky cases."""
+    import itertools
+
+    from crawlee_spark.functions.keying import _NORMALIZED_URL_RE, normalize_url_py
+
+    schemes = ["http", "https", "HTTP", "a+b-c.d", "h", ""]
+    hosts = [
+        "example.com", "EXAMPLE.com", "10.0.0.1", "host:8080", "host.",
+        "[::1]", "user@host", "ho st", "xn--55qx5d.cn", "",
+    ]
+    paths = ["", "/", "/a", "/a/", "//", "/a b", "/a?", "/%20x", "/docs/123"]
+    tails = ["", "?b=2&a=1", "?utm_source=x", "#frag", "?a=1#f", "#"]
+    urls = {f"{s}://{h}{p}{t}" for s, h, p, t in itertools.product(schemes, hosts, paths, tails)}
+    urls |= {" https://a.com ", "https://a.com/x/", "mailto:x@y", "", "https://", "https:///p"}
+    n_fast = 0
+    for u in urls:
+        if _NORMALIZED_URL_RE.match(u):
+            n_fast += 1
+            for kf in (False, True):
+                assert normalize_url_py(u, kf) == u, (u, kf)
+    assert n_fast > 0  # the sweep must actually exercise the fast path
