@@ -536,18 +536,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
     t = F.col("text")
-    return d.select(
+    # Tokenize BELOW the spread exchange, extract features ABOVE it: the
+    # inline kernels re-split the text per reference (the one-select form
+    # pays ~21 regex splits/row — text_quality_before.txt), and
+    # CollapseProject re-inlines adjacent projections, so only a real
+    # distribution barrier keeps the token arrays materialized once.
+    toked = _spread(
+        d.select("doc_id", t.alias("_t"), TA.tokens_col(t).alias("_toks"))
+        .withColumn("_ltoks", TA.lower_tokens_from_tokens("_toks"))
+    )
+    feats = toked.select(
         "doc_id",
-        TA.token_count_col(t).alias("n_tokens"),
-        TA.bpe_ish_token_count_col(t).alias("bpe_tokens"),
-        TA.punct_count_col(t).alias("punct_cnt"),
-        TA.stopword_count_col(t).alias("stopword_cnt"),
-        TA.mean_token_len_e3_col(t).alias("mean_token_len_e3"),
-        TA.quality_score_col(t).alias("quality"),
-        TA.doc_fingerprint_col(t).alias("fingerprint"),
-        TA.lang_id_col(t).alias("lang_pred"),
+        "_t",
+        "_toks",
+        "_ltoks",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        TA.stopword_count_from_lower_tokens("_ltoks").alias("stopword_cnt"),
+        TA.mean_token_len_e3_from_tokens("_toks").alias("mean_token_len_e3"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        TA.bpe_ish_token_count_col(F.col("_t")).alias("bpe_tokens"),
+        TA.punct_count_col(F.col("_t")).alias("punct_cnt"),
+        "stopword_cnt",
+        "mean_token_len_e3",
+        TA.quality_score_from_parts("n_tokens", "stopword_cnt", "mean_token_len_e3").alias("quality"),
+        TA.doc_fingerprint_from_tokens("_toks").alias("fingerprint"),
+        TA.lang_id_from_lower_tokens("_ltoks").alias("lang_pred"),
     )
 
 
@@ -560,10 +578,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_docs(spark, sf_dir))
     surv = DD.exact_dedup_groups(d).select(F.col("survivor_id").alias("doc_id"))
     kept = d.join(surv, "doc_id")
-    feats = kept.select(
+    # tokens once below a spread exchange, features above it (CollapseProject
+    # re-inlines adjacent projections — see q_text_quality)
+    toked = _spread(
+        kept.select("doc_id", "source", TA.tokens_col("text").alias("_toks"))
+        .withColumn("_ltoks", TA.lower_tokens_from_tokens("_toks"))
+    )
+    parts = toked.select(
+        "doc_id", "source", "_ltoks",
+        F.size("_toks").cast("long").alias("_n"),
+        TA.stopword_count_from_lower_tokens("_ltoks").alias("_stop"),
+        TA.mean_token_len_e3_from_tokens("_toks").alias("_mtl"),
+    )
+    feats = parts.select(
         "doc_id", "source",
-        TA.quality_score_col("text").alias("quality"),
-        TA.lang_id_col("text").alias("lang_pred"),
+        TA.quality_score_from_parts("_n", "_stop", "_mtl").alias("quality"),
+        TA.lang_id_from_lower_tokens("_ltoks").alias("lang_pred"),
     )
     return (
         feats.filter(F.col("quality") >= 40)
@@ -584,12 +614,22 @@ def q_crawl_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
     )
     extracted = uni.select("doc_id", "source", html_to_text_udf(html).alias("etext"))
-    t = F.col("etext")
-    feats = extracted.select(
+    # tokenize below a spread exchange, features above (see q_text_quality)
+    toked = _spread(
+        extracted.select("source", "etext", TA.tokens_col("etext").alias("_toks"))
+        .withColumn("_ltoks", TA.lower_tokens_from_tokens("_toks"))
+    )
+    parts = toked.select(
+        "source", "etext", "_ltoks",
+        F.size("_toks").cast("long").alias("_n"),
+        TA.stopword_count_from_lower_tokens("_ltoks").alias("_stop"),
+        TA.mean_token_len_e3_from_tokens("_toks").alias("_mtl"),
+    )
+    feats = parts.select(
         "source",
-        TA.quality_score_col(t).alias("quality"),
-        TA.lang_id_col(t).alias("lang_pred"),
-        TA.bpe_ish_token_count_col(t).alias("bpe_tokens"),
+        TA.quality_score_from_parts("_n", "_stop", "_mtl").alias("quality"),
+        TA.lang_id_from_lower_tokens("_ltoks").alias("lang_pred"),
+        TA.bpe_ish_token_count_col(F.col("etext")).alias("bpe_tokens"),
     )
     return feats.groupBy("source", "lang_pred").agg(
         F.count("*").alias("n_docs"),

@@ -79,34 +79,72 @@ def punct_count_col(text: Column | str) -> Column:
     ).cast("long")
 
 
+def lower_tokens_from_tokens(toks: Column | str) -> Column:
+    """Lowercased copy of a materialized token-array column."""
+    return F.transform(_c(toks), lambda t: F.lower(t))
+
+
+def stopword_count_from_lower_tokens(ltoks: Column | str) -> Column:
+    """Stopword count from a MATERIALIZED lowercased token-array column."""
+    return F.size(F.filter(_c(ltoks), lambda t: t.isin(*STOPWORDS))).cast("long")
+
+
 def stopword_count_col(text: Column | str) -> Column:
-    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
-    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    return stopword_count_from_lower_tokens(
+        F.transform(tokens_col(text), lambda t: F.lower(t))
+    )
+
+
+def mean_token_len_e3_from_tokens(toks: Column | str) -> Column:
+    """Mean token length ×1000 from a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference: it is referenced three times
+    (fold + two sizes), and an inline tokenizer would re-split the text per
+    reference (the repo's expression-tree rule)."""
+    t = _c(toks)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, F.floor(total * 1000 / F.size(t))).otherwise(F.lit(0)).cast("long")
 
 
 def mean_token_len_e3_col(text: Column | str) -> Column:
-    """Mean token length ×1000, floored to integer (portable fixed-point)."""
-    toks = tokens_col(text)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, F.floor(total * 1000 / F.size(toks))).otherwise(F.lit(0)).cast("long")
+    """Mean token length ×1000, floored to integer (portable fixed-point).
+
+    Convenience form — re-tokenizes per reference; bulk paths materialize
+    the token array and use ``mean_token_len_e3_from_tokens``."""
+    return mean_token_len_e3_from_tokens(tokens_col(text))
 
 
-def quality_score_col(text: Column | str) -> Column:
-    """Composite quality score in [0, 100], integer arithmetic only.
+def quality_score_from_parts(
+    n_tokens: Column | str, stop_cnt: Column | str, mtl_e3: Column | str
+) -> Column:
+    """Composite quality score in [0, 100] from ALREADY-COMPUTED feature
+    columns (token count, stopword count, mean-token-length ×1000) —
+    integer arithmetic only, so the score costs nothing beyond the three
+    features every quality pipeline computes anyway.
 
     Signals (each contributes a capped sub-score):
     - length:    min(n_tokens, 200) / 200        → 40 points
     - stopwords: min(stop_ratio_pct, 10) / 10    → 30 points (≥10% stopwords = full)
     - mean token length in [3, 10]               → 30 points (else 0)
     """
-    toks = token_count_col(text)
-    stop = stopword_count_col(text)
-    mtl = mean_token_len_e3_col(text)
+    toks = _c(n_tokens)
+    stop = _c(stop_cnt)
+    mtl = _c(mtl_e3)
     len_pts = F.floor(F.least(toks, F.lit(200)) * 40 / 200)
     stop_pct = F.when(toks > 0, F.floor(stop * 100 / toks)).otherwise(F.lit(0))
     stop_pts = F.floor(F.least(stop_pct, F.lit(10)) * 30 / 10)
     mtl_pts = F.when((mtl >= 3000) & (mtl <= 10000), F.lit(30)).otherwise(F.lit(0))
     return (len_pts + stop_pts + mtl_pts).cast("long")
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite quality score — convenience form that re-derives every
+    feature from ``text`` inline (each reference re-tokenizes; ~7 splits
+    per row). Bulk paths materialize (tokens, stop count, mean length) as
+    columns and call ``quality_score_from_parts``."""
+    return quality_score_from_parts(
+        token_count_col(text), stopword_count_col(text), mean_token_len_e3_col(text)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -126,26 +164,44 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_scores_col(text: Column | str) -> Column:
-    """Map language → marker hit count (over lowercased whitespace tokens)."""
-    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+def lang_scores_from_lower_tokens(ltoks: Column | str) -> Column:
+    """Map language → marker hit count from a MATERIALIZED lowercased
+    token-array column (five filters reference it; an inline tokenizer
+    would re-split the text five times)."""
+    t = _c(ltoks)
     entries = []
     for lang in sorted(LANG_MARKERS):
         markers = LANG_MARKERS[lang]
-        cnt = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        cnt = F.size(F.filter(t, lambda x: x.isin(*markers)))
         entries.append(F.struct(F.lit(lang).alias("lang"), cnt.cast("long").alias("hits")))
     return F.array(*entries)
 
 
-def lang_id_col(text: Column | str) -> Column:
-    """Predicted language code ('und' when no marker matches)."""
-    scores = lang_scores_col(text)
+def lang_scores_col(text: Column | str) -> Column:
+    """Map language → marker hit count (over lowercased whitespace tokens)."""
+    return lang_scores_from_lower_tokens(
+        F.transform(tokens_col(text), lambda t: F.lower(t))
+    )
+
+
+def lang_id_from_lower_tokens(ltoks: Column | str) -> Column:
+    """Predicted language code from a MATERIALIZED lowercased token-array
+    column ('und' when no marker matches)."""
     best = F.aggregate(
-        scores,
+        lang_scores_from_lower_tokens(ltoks),
         F.struct(F.lit("und").alias("lang"), F.lit(0).cast("long").alias("hits")),
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
     return best["lang"]
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Predicted language code ('und' when no marker matches). Convenience
+    form — bulk paths materialize the lowercased token array and use
+    ``lang_id_from_lower_tokens``."""
+    return lang_id_from_lower_tokens(
+        F.transform(tokens_col(text), lambda t: F.lower(t))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -164,15 +220,20 @@ def _token_value(t: Column) -> Column:
     return (F.ascii(F.substring(t, 1, 1)) * 65536 + F.length(t)).cast("long")
 
 
-def doc_fingerprint_col(text: Column | str) -> Column:
-    """Polynomial rolling hash over whitespace tokens:
-    ``h = (h * 1000003 + value(token)) mod (2^31-1)``, h₀ = 0."""
-    vals = F.transform(tokens_col(text), _token_value)
+def doc_fingerprint_from_tokens(toks: Column | str) -> Column:
+    """Polynomial rolling hash from a materialized token-array column."""
+    vals = F.transform(_c(toks), _token_value)
     return F.aggregate(
         vals,
         F.lit(0).cast("long"),
         lambda acc, v: F.pmod(acc * _FP_MULT + v, F.lit(_FP_MOD)),
     )
+
+
+def doc_fingerprint_col(text: Column | str) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    ``h = (h * 1000003 + value(token)) mod (2^31-1)``, h₀ = 0."""
+    return doc_fingerprint_from_tokens(tokens_col(text))
 
 
 def ngrams_from_tokens(toks: Column, n: int) -> Column:
