@@ -193,13 +193,16 @@ def q_url_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D4: normalizeUrl kernel (pandas UDF), request id, host columns."""
     uni = _spread(_url_universe(spark, sf_dir))
     uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
-    return uni.select(
+    # host materializes once and feeds the PSL lookup as an attribute (the
+    # inline form ran the try_parse_url twice per row)
+    hosted = uni.withColumn("host", host_col("url"))
+    return hosted.select(
         "doc_id",
         "url",
         uk.alias("unique_key"),
         request_id_col(uk).alias("request_id"),
-        host_col("url").alias("host"),
-        registrable_domain_col(host_col("url")).alias("registrable_domain"),
+        "host",
+        registrable_domain_col(F.col("host")).alias("registrable_domain"),
     )
 
 
@@ -212,7 +215,7 @@ def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffixes (xn--55qx5d.cn = 公司.cn), IPs, single-label hosts and
     bare-suffix hosts (all → NULL). The DuckDB oracle recomputes the PSL
     longest-match algorithm independently from the same rule set."""
-    d = _spread(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)  # not spread: the PSL UDF is batch-memoized (~cheap)
     ds = F.col("doc_id").cast("string")
     m = F.col("doc_id") % 13
     host = (
@@ -510,7 +513,10 @@ def q_blocked_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _spread(_neardup_corpus(spark, sf_dir, mutate=False))
+    # NOT spread: md5-per-row is ~1µs and the groupBy exchange already
+    # parallelizes the aggregate — a round-robin repartition of the full
+    # text measured 2× slower (spread only pays for heavy per-row work)
+    corpus = _neardup_corpus(spark, sf_dir, mutate=False)
     return DD.exact_dedup_groups(corpus, id_col="doc_id", text_col="text")
 
 
@@ -1237,7 +1243,7 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salted md5 buckets and the cumulative-threshold CASE."""
     from crawlee_spark.operators.curation import hash_split_col, shard_col
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir)  # not spread: two md5s/row, cheaper than an exchange
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         hash_split_col("doc_id", {"train": 98, "val": 1, "test": 1}).alias("split"),

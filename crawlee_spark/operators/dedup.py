@@ -155,6 +155,12 @@ def ngram_jaccard_pairs(
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32 — the datasketch modulus
 
+# Candidate-pair sets up to this many rows are broadcast into the verify
+# joins (two longs/pair ≈ 16 B ⇒ ≤ ~32 MB build) so the corpus-sized
+# shingle/signature frame is never shuffled for verification; larger sets
+# fall back to shuffle joins, which AQE sizes at runtime.
+BROADCAST_CAND_MAX_PAIRS = 2_000_000
+
 
 def minhash_perm_consts(num_perm: int) -> list:
     """Deterministic (a_i, b_i) affine-permutation constants, derived from
@@ -292,9 +298,15 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # pin + count once: the candidate set drives BOTH verify joins, and
+        # broadcasting it (when small — the usual case after the bucket
+        # guard) keeps the corpus-sized shingle frame from being shuffled
+        # twice by sort-merge joins. 16 B/pair ⇒ the cap is a ~32 MB build.
+        .localCheckpoint(eager=True)
     )
+    cand_j = F.broadcast(cand) if cand.count() <= BROADCAST_CAND_MAX_PAIRS else cand
     verified = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        cand_j.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -424,7 +436,10 @@ def simhash_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
+            .localCheckpoint(eager=True)  # see minhash_lsh_pairs: broadcast
         )
+        if cand.count() <= BROADCAST_CAND_MAX_PAIRS:
+            cand = F.broadcast(cand)
         pairs = cand.join(
             hashed.select(
                 F.col("_id").alias("id_a"),

@@ -130,3 +130,36 @@ def test_global_row_number_small_path_equivalent(spark):
     }
     assert small == two
     assert small == {(v, v + 1) for v in range(100)}
+
+
+def test_null_domain_hosts_are_budget_exempt_singletons(spark, tmp_store_dir):
+    """Hosts with NO registrable domain (IPs, localhost, bare public
+    suffixes) are not throttled by the per-domain budget — the reference's
+    delayRequest bails when tldts getDomain is null
+    (basic-crawler.ts:1560-1564). claim_round keys them by request_id, so
+    each is its own singleton politeness group, while domained hosts keep
+    their shared budget; the salted two-phase top-k must stay exact under
+    the mixed keying."""
+    urls = (
+        [f"https://a.com/{i}" for i in range(10)]           # one shared domain
+        + [f"https://10.0.0.{i}/p" for i in range(6)]       # IPs: no domain
+        + ["https://localhost/x", "https://github.io/y"]    # single-label / bare suffix
+    )
+    store = frontier_with(spark, tmp_store_dir, urls)
+    f = store.read()
+    # sanity: the null-domain rows really have registrable_domain IS NULL
+    assert f.filter(F.col("registrable_domain").isNull()).count() == 8
+    pol = PolitenessPolicy(max_concurrency=100, per_host_cap=3, salt_buckets=4)
+    claimed = claim_round(f, 1, pol).collect()
+    by_host = {}
+    for r in claimed:
+        by_host.setdefault(r["host"], []).append(r["order_no"])
+    # the domained host is budget-capped to 3 (head of the queue, in order)
+    assert len(by_host["a.com"]) == 3
+    assert sorted(by_host["a.com"]) == by_host["a.com"]
+    # every null-domain request is claimed (budget-exempt singletons)
+    null_hosts = {f"10.0.0.{i}" for i in range(6)} | {"localhost", "github.io"}
+    assert null_hosts <= set(by_host)
+    assert sum(len(v) for h, v in by_host.items() if h in null_hosts) == 8
+    # global cap still applies over the union
+    assert len(claimed) == 3 + 8
