@@ -191,7 +191,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_url_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D4: normalizeUrl kernel (pandas UDF), request id, host columns."""
-    uni = _spread(_url_universe(spark, sf_dir))
+    # not spread: both UDFs are cheap-per-row (regex fast path, memoized
+    # PSL) and the one-shot bench pays the extra exchange stage cold —
+    # paired runs measured the spread flat-to-worse here
+    uni = _url_universe(spark, sf_dir)
     uk = F.coalesce(normalize_url_udf("url"), F.col("url"))
     # host materializes once and feeds the PSL lookup as an attribute (the
     # inline form ran the try_parse_url twice per row)
